@@ -1,0 +1,283 @@
+"""Pixel-buffer fillers: the rasterization backends behind the Renderer.
+
+Mirrors the reference's filler hierarchy
+(``crender/{py,cy}/pixel_buffer_filler/``):
+
+* ``PixelBufferFiller`` — abstract per-triangle interface
+  (``pixel_buffer_filler.py:7-11``);
+* ``AdvancedPixelBufferFiller`` — the full z-buffered rasterizer. Like the
+  compiled reference (Version C, ``advanced_pixel_buffer_filler.pyx:92``) it
+  renders the *whole model* in one call (``render_model``) and owns persistent
+  device G-buffers; a per-triangle ``compute_triangle_statistics`` compat path
+  matches the pure-python reference filler
+  (``py/advanced_pixel_buffer_filler.py:39``);
+* ``EdgeOnlyPixelBufferFiller`` — wireframe (see ``ops/wireframe.py``).
+
+Backend selection: ``backend="jnp"`` uses the XLA scatter-min rasterizer
+(``ops/raster_ref.py``); ``backend="pallas"`` uses the tile-binned Pallas
+kernel (``ops/raster_pallas.py``); ``"auto"`` picks pallas on TPU.
+"""
+from __future__ import annotations
+
+from abc import abstractmethod
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderConfig
+from .models.buffer import Buffer
+from .ops import raster_ref
+from .ops.projection import project_to_screen, visibility_masks
+
+
+class PixelBufferFiller:
+    @abstractmethod
+    def compute_triangle_statistics(self, triangle, colors, normals,
+                                    color_buffer: Buffer, z_buffer: Buffer,
+                                    n_buffer: Buffer):
+        ...
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _geometry_stage(tri_verts, tri_norms, config: RenderConfig):
+    """Batched projection + culling masks (one MXU matmul for the model)."""
+    degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
+    active = jnp.logical_and(~degenerate, ~backfacing)
+    tris_screen = project_to_screen(tri_verts, config)
+    return tris_screen, active
+
+
+class AdvancedPixelBufferFiller(PixelBufferFiller):
+    """Z-buffered triangle rasterizer with persistent device G-buffers.
+
+    Constructor signature matches the reference filler
+    (``py filler:14``, ``pyx:39``); ``n_threads`` is accepted for drop-in
+    compatibility but ignored — parallelism comes from the XLA/Pallas grid,
+    not OpenMP threads.
+    """
+
+    def __init__(self, h: int, w: int, fov: float = 90.0, z_near: float = 0.1,
+                 z_far: float = 1000.0, n_threads: Optional[int] = None,
+                 backend: str = "auto"):
+        del n_threads  # reference-API compat; TPU picks its own parallelism
+        self.config = RenderConfig(height=h, width=w, fov=fov, z_near=z_near,
+                                   z_far=z_far, backend=backend)
+        self._color = jnp.zeros((h, w, 3), jnp.float32)
+        self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)
+        self._normals = jnp.zeros((h, w, 3), jnp.float32)
+
+    def get_size(self) -> Tuple[int, int]:
+        return self.config.height, self.config.width
+
+    # ------------------------------------------------------------------
+    # whole-model path (Version C style)
+    # ------------------------------------------------------------------
+
+    def _resolve_backend(self) -> str:
+        if self.config.backend != "auto":
+            return self.config.backend
+        if jax.default_backend() == "tpu":
+            try:
+                from .ops import raster_pallas  # noqa: F401
+
+                return "pallas"
+            except ImportError:
+                return "jnp"
+        return "jnp"
+
+    def render_model(self, model, order: Optional[jnp.ndarray] = None,
+                     colors_override: Optional[jnp.ndarray] = None) -> None:
+        """Rasterize the whole model into the filler's G-buffers.
+
+        ``order`` is an optional triangle permutation (iterator order; only
+        affects depth-tie resolution). ``colors_override`` supplies (T, 3, 3)
+        colors for untextured models.
+        """
+        tri_verts = model.vertices_by_triangles
+        tri_norms = model.normals_by_triangles
+        tri_colors = model.colors_by_triangles
+        if tri_colors is None:
+            tri_colors = colors_override
+        if tri_colors is None:
+            raise ValueError(
+                "model has no texture colors; pass colors_override "
+                "(the Renderer provides random/white fallback colors)")
+        tri_colors = jnp.asarray(tri_colors, jnp.float32)
+
+        if order is not None:
+            tri_verts = tri_verts[order]
+            tri_norms = tri_norms[order]
+            tri_colors = tri_colors[order]
+
+        color, z, normals = self._rasterize(tri_verts, tri_norms, tri_colors)
+        self._color, self._z, self._normals = color, z, normals
+
+    def _rasterize(self, tri_verts, tri_norms, tri_colors):
+        backend = self._resolve_backend()
+        tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
+        if backend == "pallas":
+            from .ops import raster_pallas
+
+            return raster_pallas.rasterize(tris_screen, tri_colors, tri_norms,
+                                           active, self.config)
+        bbox = raster_ref.required_bbox_size(tris_screen, active, self.config)
+        return raster_ref.rasterize(tris_screen, tri_colors, tri_norms, active,
+                                    self.config, bbox_size=bbox)
+
+    # buffer getters, cy-reference naming (pyx:246-253)
+    def get_color_buffer(self) -> jnp.ndarray:
+        return self._color
+
+    def get_normals_buffer(self) -> jnp.ndarray:
+        return self._normals
+
+    def get_z_buffer(self) -> jnp.ndarray:
+        return self._z
+
+    def reset_buffers(self) -> None:
+        h, w = self.get_size()
+        self._color = jnp.zeros((h, w, 3), jnp.float32)
+        self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)
+        self._normals = jnp.zeros((h, w, 3), jnp.float32)
+
+    # ------------------------------------------------------------------
+    # per-triangle compat path (py reference semantics)
+    # ------------------------------------------------------------------
+
+    def compute_triangle_statistics(self, triangle, colors, normals,
+                                    color_buffer: Buffer, z_buffer: Buffer,
+                                    n_buffer: Buffer):
+        """Rasterize one triangle against caller-owned buffers.
+
+        Matches ``py/pixel_buffer_filler/advanced_pixel_buffer_filler.py:39-82``
+        including its culling rules. This is the compatibility path for code
+        written against the per-triangle reference API — the batched
+        ``render_model`` is the fast path.
+        """
+        assert color_buffer.get_size() == z_buffer.get_size() \
+            == n_buffer.get_size() == self.get_size(), (
+            "Buffers' spatial dimensions must be the same, but received: "
+            f"color_buffer - {color_buffer.get_size()}, "
+            f"z_buffer - {z_buffer.get_size()}, "
+            f"n_buffer - {n_buffer.get_size()}.")
+
+        tri = jnp.asarray(triangle, jnp.float32)[None]
+        cols = jnp.asarray(colors, jnp.float32)[None]
+        norms = jnp.asarray(normals, jnp.float32)[None]
+        color, z, normal = _raster_one(
+            tri, cols, norms, color_buffer.array.astype(jnp.float32),
+            z_buffer.array, n_buffer.array, self.config)
+        color_buffer.array = color
+        z_buffer.array = z
+        n_buffer.array = normal
+
+
+class EdgeOnlyPixelBufferFiller(PixelBufferFiller):
+    """Wireframe filler — draws triangle edges (or vertices only).
+
+    API parity with the reference
+    (``edge_only/edge_only_pixel_buffer_filler.py:8-33``): vertex coordinates
+    are truncated to ints and drawn *without* projection (the reference uses
+    this with ``normalize_model=True`` fitting). The batched path
+    (``fill_all``) replaces per-pixel ``set_pixel`` calls with the vectorized
+    closed-form Bresenham in ``ops/wireframe.py``.
+    """
+
+    def __init__(self, line_drawer, line_color, draw_edges: bool = True,
+                 force_triangle_colors: bool = False):
+        self.line_drawer = line_drawer
+        self.line_color = np.asarray(line_color)
+        self.draw_edges = draw_edges
+        self.force_triangle_colors = force_triangle_colors
+
+    def compute_triangle_statistics(self, triangle, colors, normals,
+                                    color_buffer: Buffer, z_buffer: Buffer,
+                                    n_buffer: Buffer):
+        p0 = [int(triangle[0][0]), int(triangle[0][1])]
+        p1 = [int(triangle[1][0]), int(triangle[1][1])]
+        p2 = [int(triangle[2][0]), int(triangle[2][1])]
+        if self.draw_edges:
+            self.line_drawer.draw_line(
+                p0, p1, color_buffer,
+                colors[0] if self.force_triangle_colors else self.line_color)
+            self.line_drawer.draw_line(
+                p1, p2, color_buffer,
+                colors[1] if self.force_triangle_colors else self.line_color)
+            self.line_drawer.draw_line(
+                p2, p0, color_buffer,
+                colors[2] if self.force_triangle_colors else self.line_color)
+        else:
+            color_buffer.set_pixel(*p0, colors[0] if self.force_triangle_colors
+                                   else self.line_color)
+            color_buffer.set_pixel(*p1, colors[1] if self.force_triangle_colors
+                                   else self.line_color)
+            color_buffer.set_pixel(*p2, colors[2] if self.force_triangle_colors
+                                   else self.line_color)
+
+    def fill_all(self, tri_verts: jnp.ndarray, tri_colors: jnp.ndarray,
+                 color_arr: jnp.ndarray) -> jnp.ndarray:
+        """Batched wireframe over all triangles into a color image array."""
+        from .ops import wireframe
+
+        h, w = color_arr.shape[0], color_arr.shape[1]
+        t = tri_verts.shape[0]
+        pts = tri_verts[..., :2].astype(jnp.int32)      # truncation, ref:20-22
+        if self.draw_edges:
+            starts, ends = wireframe.triangle_edges(pts)
+            if self.force_triangle_colors:
+                line_colors = tri_colors.reshape(t * 3, -1)
+            else:
+                line_colors = jnp.broadcast_to(
+                    jnp.asarray(self.line_color, jnp.float32),
+                    (t * 3, np.size(self.line_color)))
+            active = jnp.ones((t * 3,), bool)
+            max_steps = 2 * max(h, w)
+            return wireframe.rasterize_lines(color_arr, starts, ends,
+                                             line_colors, active, h, w,
+                                             max_steps)
+        # vertices only: zero-length "lines"
+        pts_flat = pts.reshape(t * 3, 2)
+        if self.force_triangle_colors:
+            line_colors = tri_colors.reshape(t * 3, -1)
+        else:
+            line_colors = jnp.broadcast_to(
+                jnp.asarray(self.line_color, jnp.float32),
+                (t * 3, np.size(self.line_color)))
+        active = jnp.ones((t * 3,), bool)
+        return wireframe.rasterize_lines(color_arr, pts_flat, pts_flat,
+                                         line_colors, active, h, w, 1)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _raster_one(tri, cols, norms, color_arr, z_arr, n_arr,
+                config: RenderConfig):
+    """Single-triangle full-image rasterization against existing buffers."""
+    h, w = config.height, config.width
+    degenerate, backfacing = visibility_masks(tri, norms)
+    active = jnp.logical_and(~degenerate, ~backfacing)[0]
+    ts = project_to_screen(tri, config)[0]        # (3, 3)
+
+    xl, xr, yl, yr = raster_ref.bbox_ceil(ts[None, :, :2], w, h)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    in_bbox = (px >= xl[0]) & (px < xr[0]) & (py >= yl[0]) & (py < yr[0])
+
+    l0, l1, l2 = raster_ref.barycentric(ts[None, None, :, :2],
+                                        px.astype(jnp.float32),
+                                        py.astype(jnp.float32))
+    inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+    z = l0 * ts[0, 2] + l1 * ts[1, 2] + l2 * ts[2, 2]
+    z_ok = (z >= 0.0) & (z <= 1.0)
+    win = active & in_bbox & inside & z_ok & (z[..., None] < z_arr)[..., 0]
+
+    bar = jnp.stack([l0, l1, l2], axis=-1)        # (H, W, 3)
+    new_c = jnp.einsum("hwk,kd->hwd", bar, cols[0], precision="highest")
+    new_n = jnp.einsum("hwk,kd->hwd", bar, norms[0], precision="highest")
+
+    color_arr = jnp.where(win[..., None], new_c, color_arr)
+    z_arr = jnp.where(win[..., None], z[..., None], z_arr)
+    n_arr = jnp.where(win[..., None], new_n, n_arr)
+    return color_arr, z_arr, n_arr

@@ -1,0 +1,82 @@
+"""Image / depth / normal buffers — device-resident ndarray wrappers.
+
+API-compatible with the reference ``Buffer``
+(``crender/py/data_structures/buffer.py:7-78``): ``get/set_pixel``, ``clear``,
+``get_size``, ``get_image``, ``write_to_file`` (vertical flip on write, OpenCV
+BGR), ``__getitem__``/``__setitem__``.
+
+TPU-first difference: the backing array is a jnp device buffer that stays on
+the TPU across frames (the reference's Version C keeps persistent C buffers
+for the same reason — ``crender/cy/.../advanced_pixel_buffer_filler.pyx:65-67``).
+The only host transfer happens in ``write_to_file``/``get_image``. Scalar
+``set_pixel`` (a host-style convenience used by the wireframe path) uses
+functional ``.at[...]`` updates.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Buffer:
+    def __init__(self, height: int, width: int, dim: int = 3,
+                 dtype: str = "float32", init_val=0):
+        self._height = height
+        self._width = width
+        self._dim = dim
+        self._dtype = dtype
+        self._init_val = init_val
+        self._buffer: jnp.ndarray = None  # set by clear()
+        self.clear()
+
+    # -- array-style access ------------------------------------------------
+
+    def __getitem__(self, val) -> np.ndarray:
+        return np.asarray(self._buffer)[val]
+
+    def __setitem__(self, key, value) -> None:
+        self._buffer = self._buffer.at[key].set(jnp.asarray(value, dtype=self._buffer.dtype))
+
+    # -- device-side API ---------------------------------------------------
+
+    @property
+    def array(self) -> jnp.ndarray:
+        """The raw device array (no host transfer)."""
+        return self._buffer
+
+    @array.setter
+    def array(self, value: jnp.ndarray) -> None:
+        assert value.shape == (self._height, self._width, self._dim), \
+            f"expected {(self._height, self._width, self._dim)}, got {value.shape}"
+        self._buffer = value.astype(self._dtype)
+
+    # -- reference-compatible API -----------------------------------------
+
+    def write_to_file(self, filename: str) -> None:
+        # Row flip on write, like the reference (buffer.py:54-55) — the render
+        # uses a y-up screen space, image files are y-down.
+        import cv2
+
+        cv2.imwrite(filename, np.asarray(self._buffer)[::-1])
+
+    def get_pixel(self, x: int, y: int) -> np.ndarray:
+        return np.asarray(self._buffer[y, x])
+
+    def get_size(self) -> Tuple[int, int]:
+        return self._height, self._width
+
+    def get_image(self) -> np.ndarray:
+        return np.asarray(self._buffer)
+
+    def set_pixel(self, x: int, y: int, value) -> None:
+        # Bounds-checked silent drop, like the reference (buffer.py:66-69).
+        if x not in range(self._width) or y not in range(self._height):
+            return
+        self._buffer = self._buffer.at[y, x].set(
+            jnp.asarray(value, dtype=self._buffer.dtype))
+
+    def clear(self) -> None:
+        self._buffer = jnp.full((self._height, self._width, self._dim),
+                                self._init_val, dtype=self._dtype)

@@ -1,0 +1,148 @@
+"""Wireframe rendering: vectorized Bresenham line rasterization.
+
+The reference draws triangle edges with classic integer Bresenham stepping via
+per-pixel ``Buffer.set_pixel`` calls
+(``crender/py/pixel_buffer_filler/edge_only/line_drawer/bresenham/line_bresenham.py:6-45``).
+Sequential pixel stepping is hostile to SIMD, but Bresenham has a closed form:
+after ``t`` steps the major axis has advanced ``t`` and the minor axis
+``m(t) = ceil((2·es·t − el) / (2·el))`` (with ``el = max(|dx|, |dy|)``,
+``es = min(|dx|, |dy|)`` and the reference's ``error = el/2`` initialisation),
+so every pixel of every line is computed independently on the VPU. Overwrite
+order (later lines win crossings) is reproduced with a per-pixel priority
+scatter-max instead of sequential writes.
+
+``LineDrawer`` / ``LineBresenham`` keep the reference's scalar per-line API
+(``line_drawer.py:4``) for compatibility.
+"""
+from __future__ import annotations
+
+from abc import abstractmethod
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _line_params(p1: jnp.ndarray, p2: jnp.ndarray):
+    """Per-line Bresenham constants. p1/p2: (..., 2) int32."""
+    d = p2 - p1
+    sign = jnp.sign(d)
+    ad = jnp.abs(d)
+    major_is_x = ad[..., 0] > ad[..., 1]
+    el = jnp.where(major_is_x, ad[..., 0], ad[..., 1])
+    es = jnp.where(major_is_x, ad[..., 1], ad[..., 0])
+    return sign, el, es, major_is_x
+
+
+@partial(jax.jit, static_argnames=("height", "width", "max_steps"))
+def rasterize_lines(color: jnp.ndarray,
+                    p1: jnp.ndarray, p2: jnp.ndarray,
+                    line_colors: jnp.ndarray,
+                    active: jnp.ndarray,
+                    height: int, width: int,
+                    max_steps: int) -> jnp.ndarray:
+    """Draw L lines into a color image, vectorized over lines × steps.
+
+    Args:
+      color: (H, W, C) image to draw over.
+      p1, p2: (L, 2) int32 endpoints (x, y).
+      line_colors: (L, C) per-line colors.
+      active: (L,) bool.
+      max_steps: static bound on pixels per line; longer lines are truncated
+        (off-screen pixels are dropped anyway, reference buffer.py:66-69).
+
+    Line index is the overwrite priority: the highest-index line covering a
+    pixel wins, matching the reference's sequential draw order.
+    """
+    l = p1.shape[0]
+    hw = height * width
+    c = color.shape[-1]
+
+    sign, el, es, major_is_x = _line_params(p1, p2)
+    el_safe = jnp.maximum(el, 1)
+
+    t = jax.lax.broadcasted_iota(jnp.int32, (l, max_steps), 1)
+    step_ok = t <= el[:, None]
+    # minor-axis advance after t steps (closed-form Bresenham, see module doc)
+    m = jnp.floor_divide(2 * es[:, None] * t + el_safe[:, None] - 1,
+                         2 * el_safe[:, None])
+    m = jnp.where(t == 0, 0, m)
+
+    dmaj = t
+    dmin = m
+    dx = jnp.where(major_is_x[:, None], dmaj, dmin) * sign[:, 0:1]
+    dy = jnp.where(major_is_x[:, None], dmin, dmaj) * sign[:, 1:2]
+    px = p1[:, 0:1] + dx
+    py = p1[:, 1:2] + dy
+
+    on_screen = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    good = step_ok & on_screen & active[:, None]
+    idx = jnp.where(good, py * width + px, hw).reshape(-1)
+
+    # Priority scatter-max: winner per pixel = last (highest-index) line.
+    prio = jax.lax.broadcasted_iota(jnp.int32, (l, max_steps), 0).reshape(-1)
+    prio = jnp.where(good.reshape(-1), prio, -1)
+    win = jnp.full(hw + 1, -1, jnp.int32).at[idx].max(prio)[:hw]
+
+    has = win >= 0
+    win_c = line_colors[jnp.clip(win, 0, l - 1)]              # (HW, C)
+    flat = color.reshape(hw, c)
+    out = jnp.where(has[:, None], win_c.astype(flat.dtype), flat)
+    return out.reshape(color.shape)
+
+
+def triangle_edges(tri_xy_int: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand (T, 3, 2) int vertices into (3T, 2) edge endpoint pairs.
+
+    Edge order per triangle matches the reference filler: p0→p1, p1→p2, p2→p0
+    (``edge_only_pixel_buffer_filler.py:21-28``).
+    """
+    p0, p1, p2 = tri_xy_int[:, 0], tri_xy_int[:, 1], tri_xy_int[:, 2]
+    starts = jnp.stack([p0, p1, p2], axis=1).reshape(-1, 2)
+    ends = jnp.stack([p1, p2, p0], axis=1).reshape(-1, 2)
+    return starts, ends
+
+
+# --------------------------------------------------------------------------
+# Reference-compatible scalar API
+# --------------------------------------------------------------------------
+
+
+class LineDrawer:
+    @abstractmethod
+    def draw_line(self, p1, p2, image, color):
+        ...
+
+
+class LineBresenham(LineDrawer):
+    """Scalar Bresenham over ``Buffer.set_pixel`` — reference-compatible.
+
+    Single-line compat path; the batched wireframe uses ``rasterize_lines``.
+    """
+
+    def draw_line(self, p1, p2, image, color):
+        x1, y1 = int(p1[0]), int(p1[1])
+        x2, y2 = int(p2[0]), int(p2[1])
+        dx, dy = x2 - x1, y2 - y1
+        sign_x = (dx > 0) - (dx < 0)
+        sign_y = (dy > 0) - (dy < 0)
+        dx, dy = abs(dx), abs(dy)
+        if dx > dy:
+            pdx, pdy, es, el = sign_x, 0, dy, dx
+        else:
+            pdx, pdy, es, el = 0, sign_y, dx, dy
+        x, y = x1, y1
+        error, t = el / 2, 0
+        image.set_pixel(x, y, color)
+        while t < el:
+            error -= es
+            if error < 0:
+                error += el
+                x += sign_x
+                y += sign_y
+            else:
+                x += pdx
+                y += pdy
+            t += 1
+            image.set_pixel(x, y, color)

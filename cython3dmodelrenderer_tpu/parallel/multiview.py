@@ -1,0 +1,172 @@
+"""Multi-view and multi-chip rendering.
+
+The reference's only parallelism is OpenMP threads over triangles with a
+per-pixel lock grid (SURVEY §2). The TPU-native scaling axes are:
+
+* **vmapped multi-camera** — one chip renders a batch of views (the
+  64-camera turntable benchmark) as a single vectorized program;
+* **view-sharded mesh** — ``shard_map`` over a device mesh axis ``views``:
+  each device rasterizes its own subset of cameras; no communication needed
+  until the final gather (data parallelism over views);
+* **triangle-sharded mesh** — mesh axis ``tris``: each device rasterizes a
+  shard of the triangle list into a full-size partial G-buffer, then the
+  buffers merge with a z-argmin all-reduce (``psum``-style min over packed
+  (z, priority) keys) — the collective equivalent of the reference's locked
+  z-buffer writes, ridden over ICI instead of a lock grid.
+
+All functions are pure and jit/shard_map-compatible; mesh construction
+helpers live in ``parallel.mesh``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..ops import raster_ref
+from ..ops.projection import project_to_screen, visibility_masks
+from ..ops.transforms import rotation_matrix
+
+
+# --------------------------------------------------------------------------
+# Single-view functional core (shared by all parallel modes)
+# --------------------------------------------------------------------------
+
+
+def render_view(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
+                tri_colors: jnp.ndarray, config: RenderConfig,
+                bbox_size: int = 64, chunk: int = 512,
+                light_direction=(0.0, 0.0, 1.0)):
+    """Project → rasterize → shade one view. Returns (color, z, normal)."""
+    degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
+    active = jnp.logical_and(~degenerate, ~backfacing)
+    ts = project_to_screen(tri_verts, config)
+    color, z, normal = raster_ref.rasterize(ts, tri_colors, tri_norms, active,
+                                            config, bbox_size=bbox_size,
+                                            chunk=chunk)
+    light = -jnp.asarray(light_direction, jnp.float32)
+    light = light / jnp.linalg.norm(light)
+    dot = jnp.sum(normal * light, axis=-1, keepdims=True)
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    shadow = jnp.clip(dot / (nn + 1e-6), 0.0, 1.0)
+    return color * shadow, z, normal
+
+
+def turntable_angles(n_views: int) -> jnp.ndarray:
+    """(N, 3) Euler XYZ angle triples for a y-axis turntable sweep."""
+    deg = jnp.linspace(0.0, 360.0, n_views, endpoint=False)
+    zeros = jnp.zeros_like(deg)
+    return jnp.stack([zeros, deg, zeros], axis=1)
+
+
+def _pose_triangles(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
+                    angles: jnp.ndarray, post_shift) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotate triangles (and normals) by Euler angles, then translate.
+
+    The reference has no camera matrix — views are model rotations
+    (``run.py:36-38``); rotating normals by R matches recomputing them from
+    rotated geometry up to float error, without re-running the normal pass
+    per view.
+    """
+    r = rotation_matrix(angles)
+    rt = r.T
+    v = jnp.einsum("tkc,cd->tkd", tri_verts, rt, precision="highest")
+    n = jnp.einsum("tkc,cd->tkd", tri_norms, rt, precision="highest")
+    return v + jnp.asarray(post_shift, jnp.float32), n
+
+
+@partial(jax.jit, static_argnames=("config", "bbox_size", "chunk"))
+def render_turntable(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
+                     tri_colors: jnp.ndarray, angles: jnp.ndarray,
+                     config: RenderConfig, post_shift=(0.0, 0.0, 1.0),
+                     bbox_size: int = 64, chunk: int = 512) -> jnp.ndarray:
+    """vmapped multi-view render on one chip.
+
+    ``tri_verts`` should be centered (fit_model without the final z shift);
+    each view rotates the model by its angle triple then shifts by
+    ``post_shift``. Returns (N, H, W, 3) shaded color images.
+    """
+
+    def one(angle3):
+        v, n = _pose_triangles(tri_verts, tri_norms, angle3, post_shift)
+        color, _, _ = render_view(v, n, tri_colors, config,
+                                  bbox_size=bbox_size, chunk=chunk)
+        return color
+
+    return jax.vmap(one)(angles)
+
+
+# --------------------------------------------------------------------------
+# View-sharded rendering (data parallel over cameras)
+# --------------------------------------------------------------------------
+
+
+def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
+                             config: RenderConfig, mesh: Mesh,
+                             axis: str = "views", post_shift=(0.0, 0.0, 1.0),
+                             bbox_size: int = 64, chunk: int = 512):
+    """shard_map the turntable over a mesh axis: each device renders N/D views.
+
+    Geometry is replicated (it is small); views are sharded. No collectives
+    are needed — the output stays sharded over views for the caller to gather
+    or write out per shard.
+    """
+    n_dev = mesh.shape[axis]
+    assert angles.shape[0] % n_dev == 0, \
+        f"views ({angles.shape[0]}) must divide over {n_dev} devices"
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(axis)), out_specs=P(axis))
+    def shard(tv, tn, tc, ang):
+        return render_turntable(tv, tn, tc, ang, config,
+                                post_shift=post_shift, bbox_size=bbox_size,
+                                chunk=chunk)
+
+    return shard(tri_verts, tri_norms, tri_colors, angles)
+
+
+# --------------------------------------------------------------------------
+# Triangle-sharded rendering (z-argmin merge over the mesh)
+# --------------------------------------------------------------------------
+
+
+def render_triangle_sharded(tri_verts, tri_norms, tri_colors,
+                            config: RenderConfig, mesh: Mesh,
+                            axis: str = "tris",
+                            bbox_size: int = 64, chunk: int = 512,
+                            light_direction=(0.0, 0.0, 1.0)):
+    """Shard triangles across the mesh; merge partial G-buffers by z-argmin.
+
+    Each device rasterizes its triangle shard into a full-resolution partial
+    G-buffer. The merge is an all-reduce min over a packed (z, shard) key
+    followed by a select — the deterministic, lock-free ICI equivalent of the
+    reference's per-pixel OpenMP lock grid (pyx:69-77,233-242).
+    """
+    t = tri_verts.shape[0]
+    n_dev = mesh.shape[axis]
+    assert t % n_dev == 0, f"triangles ({t}) must divide over {n_dev} devices"
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis)), out_specs=P())
+    def shard(tv, tn, tc):
+        color, z, normal = render_view(tv, tn, tc, config,
+                                       bbox_size=bbox_size, chunk=chunk,
+                                       light_direction=light_direction)
+        my = jax.lax.axis_index(axis)
+        # Exact two-step z-argmin: min depth across shards, then the lowest
+        # shard index among exact-depth winners (earlier shards hold lower
+        # triangle indices, so depth ties resolve like the sequential order).
+        zmin = jax.lax.pmin(z[..., 0], axis)
+        cand = z[..., 0] == zmin
+        shard_key = jnp.where(cand, my, jnp.iinfo(jnp.int32).max)
+        smin = jax.lax.pmin(shard_key, axis)
+        win = cand & (smin == my)
+        color = jax.lax.psum(jnp.where(win[..., None], color, 0.0), axis)
+        normal = jax.lax.psum(jnp.where(win[..., None], normal, 0.0), axis)
+        return color, zmin[..., None], normal
+
+    return shard(tri_verts, tri_norms, tri_colors)

@@ -1,0 +1,81 @@
+"""Multi-view vmapped and sharded rendering tests (8-device CPU mesh)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cython3dmodelrenderer_tpu.config import RenderConfig
+from cython3dmodelrenderer_tpu.parallel.mesh import make_mesh
+from cython3dmodelrenderer_tpu.parallel import multiview
+
+
+def tiny_scene(t=16, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-0.3, 0.3, size=(t, 1, 3)).astype(np.float32)
+    centers[..., 2] = 0.0
+    tris = centers + rng.uniform(-0.2, 0.2, size=(t, 3, 3)).astype(np.float32)
+    normals = rng.randn(t, 3, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    colors = rng.uniform(0, 255, size=(t, 3, 3)).astype(np.float32)
+    return jnp.asarray(tris), jnp.asarray(normals), jnp.asarray(colors)
+
+
+CONFIG = RenderConfig(height=64, width=64, fov=45)
+
+
+def test_turntable_shapes_and_content():
+    tv, tn, tc = tiny_scene()
+    angles = multiview.turntable_angles(4)
+    out = multiview.render_turntable(tv, tn, tc, angles, CONFIG,
+                                     bbox_size=32, chunk=16)
+    assert out.shape == (4, 64, 64, 3)
+    assert float(jnp.max(out)) > 0
+    # view 0 must equal a single-view render at the same pose
+    v0, n0 = multiview._pose_triangles(tv, tn, jnp.zeros(3), (0.0, 0.0, 1.0))
+    single, _, _ = multiview.render_view(v0, n0, tc, CONFIG,
+                                         bbox_size=32, chunk=16)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single),
+                               atol=1e-3)
+
+
+def test_turntable_views_differ():
+    tv, tn, tc = tiny_scene()
+    angles = multiview.turntable_angles(4)
+    out = np.asarray(multiview.render_turntable(tv, tn, tc, angles, CONFIG,
+                                                bbox_size=32, chunk=16))
+    assert not np.allclose(out[0], out[1])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_view_sharded_matches_single_chip():
+    tv, tn, tc = tiny_scene()
+    mesh = make_mesh([("views", 8)])
+    angles = multiview.turntable_angles(8)
+    sharded = np.asarray(multiview.render_turntable_sharded(
+        tv, tn, tc, angles, CONFIG, mesh=mesh, axis="views",
+        bbox_size=32, chunk=16))
+    local = np.asarray(multiview.render_turntable(
+        tv, tn, tc, angles, CONFIG, bbox_size=32, chunk=16))
+    np.testing.assert_allclose(sharded, local, atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_triangle_sharded_matches_single_chip():
+    tv, tn, tc = tiny_scene(t=32, seed=3)
+    tv = tv + jnp.asarray([0.0, 0.0, 1.0])
+    mesh = make_mesh([("tris", 8)])
+    color_s, z_s, n_s = multiview.render_triangle_sharded(
+        tv, tn, tc, CONFIG, mesh=mesh, axis="tris", bbox_size=32, chunk=4)
+    color_l, z_l, n_l = multiview.render_view(tv, tn, tc, CONFIG,
+                                              bbox_size=32, chunk=4)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_l), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(color_s), np.asarray(color_l),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(n_s), np.asarray(n_l), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_2d_mesh_views_by_tris():
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

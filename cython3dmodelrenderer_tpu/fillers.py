@@ -68,6 +68,10 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._color = jnp.zeros((h, w, 3), jnp.float32)
         self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)
         self._normals = jnp.zeros((h, w, 3), jnp.float32)
+        # Cached static pair-capacity bucket for the Pallas binner: lets
+        # steady-state frames run with zero host syncs (overflow → retry).
+        self._p_cap: Optional[int] = None
+        self._last_total = None
 
     def get_size(self) -> Tuple[int, int]:
         return self.config.height, self.config.width
@@ -117,15 +121,47 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
     def _rasterize(self, tri_verts, tri_norms, tri_colors):
         backend = self._resolve_backend()
-        tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
         if backend == "pallas":
-            from .ops import raster_pallas
+            from .ops import binning, raster_pallas
 
-            return raster_pallas.rasterize(tris_screen, tri_colors, tri_norms,
-                                           active, self.config)
+            if self._p_cap is None:
+                # One-time sizing sync: learn the scene's pair count, cache a
+                # bucket with 2x headroom so animation never re-syncs. The
+                # steady-state path below is exactly one dispatch per frame.
+                tris_screen, active = _geometry_stage(tri_verts, tri_norms,
+                                                      self.config)
+                *_h, total = raster_pallas._stage_a(
+                    tris_screen, tri_colors, tri_norms, active, self.config,
+                    8, 128)
+                # 25% headroom: binning cost scales with the bucket, so keep
+                # it tight; validate_capacity() grows it if a frame overflows
+                self._p_cap = binning.capacity_bucket(int(total) * 5 // 4, 128)
+            out, self._last_total = raster_pallas.render_frame(
+                tri_verts, tri_norms, tri_colors, self.config, self._p_cap)
+            return out
+        tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
         bbox = raster_ref.required_bbox_size(tris_screen, active, self.config)
         return raster_ref.rasterize(tris_screen, tri_colors, tri_norms, active,
                                     self.config, bbox_size=bbox)
+
+    def validate_capacity(self) -> bool:
+        """Check (with a host sync) that the last Pallas frame's bins fit.
+
+        Returns True when the frame was complete. On overflow the capacity
+        bucket is grown; the caller should re-render the frame. Kept out of
+        the per-frame path because a device→host sync is expensive on
+        remote-tunneled devices; scenes with a fixed model never overflow
+        (the bucket has 2x headroom over the sizing frame).
+        """
+        from .ops import binning
+
+        if self._p_cap is None or self._last_total is None:
+            return True
+        t = int(self._last_total)
+        if t <= self._p_cap:
+            return True
+        self._p_cap = binning.capacity_bucket(2 * t, 128)
+        return False
 
     # buffer getters, cy-reference naming (pyx:246-253)
     def get_color_buffer(self) -> jnp.ndarray:

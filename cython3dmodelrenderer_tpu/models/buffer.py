@@ -50,7 +50,9 @@ class Buffer:
     def array(self, value: jnp.ndarray) -> None:
         assert value.shape == (self._height, self._width, self._dim), \
             f"expected {(self._height, self._width, self._dim)}, got {value.shape}"
-        self._buffer = value.astype(self._dtype)
+        if value.dtype != jnp.dtype(self._dtype):
+            value = value.astype(self._dtype)
+        self._buffer = value
 
     # -- reference-compatible API -----------------------------------------
 

@@ -105,6 +105,10 @@ class Model:
     # internals
     # ------------------------------------------------------------------
 
+    def _invalidate_caches(self) -> None:
+        self._vbt_cache = None
+        self._nbt_cache = None
+
     def _set_normals(self, recalculate: bool) -> None:
         if not recalculate and self._file_normals is not None:
             self._normals = self._file_normals
@@ -123,6 +127,7 @@ class Model:
     def _update_vertices(self, new_vertices: jnp.ndarray,
                          recalculate_normals: bool) -> None:
         self._vertices = new_vertices
+        self._invalidate_caches()
         if recalculate_normals:
             n = T.vertex_normals(self._vertices, self._faces_v,
                                  self._incidence, self._incidence_valid)
@@ -152,7 +157,9 @@ class Model:
                               recalculate_normals=True)
 
     # ------------------------------------------------------------------
-    # batched accessors (TPU pipeline feeds on these)
+    # batched accessors (TPU pipeline feeds on these) — cached: the gathers
+    # are device ops, and re-dispatching them per frame costs more than the
+    # render on remote-tunneled devices. Caches invalidate on transforms.
     # ------------------------------------------------------------------
 
     @property
@@ -165,17 +172,23 @@ class Model:
 
     @property
     def vertices_by_triangles(self) -> jnp.ndarray:
-        return self._vertices[self._faces_v]
+        if getattr(self, "_vbt_cache", None) is None:
+            self._vbt_cache = self._vertices[self._faces_v]
+        return self._vbt_cache
 
     @property
     def normals_by_triangles(self) -> jnp.ndarray:
-        return self._normals[self._faces_n]
+        if getattr(self, "_nbt_cache", None) is None:
+            self._nbt_cache = self._normals[self._faces_n]
+        return self._nbt_cache
 
     @property
     def colors_by_triangles(self) -> Optional[jnp.ndarray]:
         if self._colors is None:
             return None
-        return self._colors[self._faces_vt]
+        if getattr(self, "_cbt_cache", None) is None:
+            self._cbt_cache = self._colors[self._faces_vt]
+        return self._cbt_cache
 
     @property
     def texture(self) -> Optional[jnp.ndarray]:

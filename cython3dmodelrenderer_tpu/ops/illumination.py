@@ -11,8 +11,18 @@ from __future__ import annotations
 
 from abc import abstractmethod
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@jax.jit
+def _lambert(color: jnp.ndarray, n_buffer: jnp.ndarray,
+             light: jnp.ndarray) -> jnp.ndarray:
+    dot = jnp.sum(n_buffer * light, axis=-1, keepdims=True)
+    norm = jnp.linalg.norm(n_buffer, axis=-1, keepdims=True)
+    shadow = jnp.clip(dot / (norm + 1e-6), 0.0, 1.0)
+    return color * shadow
 
 
 class IlluminationDrawer:
@@ -58,7 +68,4 @@ class GuroIllumination(IlluminationDrawer):
         self.light_direction = jnp.asarray(light / np.linalg.norm(light))
 
     def apply(self, color: jnp.ndarray, n_buffer: jnp.ndarray) -> jnp.ndarray:
-        dot = jnp.sum(n_buffer * self.light_direction, axis=-1, keepdims=True)
-        norm = jnp.linalg.norm(n_buffer, axis=-1, keepdims=True)
-        shadow = jnp.clip(dot / (norm + 1e-6), 0.0, 1.0)
-        return color * shadow
+        return _lambert(color, n_buffer, self.light_direction)

@@ -25,14 +25,16 @@ def tpu_renderer(model, out_path="output/T-Rex.png", size=1024):
                         *filler.get_size())
     image = renderer.render(model)
 
-    # warm second frame: the pipeline is compiled now, time it
-    t0 = time.perf_counter()
-    image = renderer.render(model)
+    # warm frames: the pipeline is compiled now, time amortized throughput
     import jax
 
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        image = renderer.render(model)
     jax.block_until_ready(image.array)
-    dt = time.perf_counter() - t0
-    print(f"frame time (compiled): {dt * 1e3:.2f} ms")
+    dt = (time.perf_counter() - t0) / n
+    print(f"frame time (compiled, amortized over {n}): {dt * 1e3:.2f} ms")
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     image.write_to_file(out_path)

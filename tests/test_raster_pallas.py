@@ -1,0 +1,86 @@
+"""Pallas rasterizer parity vs the jnp backend (interpreter mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+
+from cython3dmodelrenderer_tpu.config import RenderConfig
+from cython3dmodelrenderer_tpu.ops import raster_pallas, raster_ref
+from cython3dmodelrenderer_tpu.ops.projection import (project_to_screen,
+                                                      visibility_masks)
+from tests.test_raster import random_scene
+
+
+def run_both(tris, colors, normals, config):
+    tv = jnp.asarray(tris)
+    tn = jnp.asarray(normals)
+    tc = jnp.asarray(colors)
+    degenerate, backfacing = visibility_masks(tv, tn)
+    active = ~degenerate & ~backfacing
+    ts = project_to_screen(tv, config)
+    bbox = raster_ref.required_bbox_size(ts, active, config)
+    ref = raster_ref.rasterize(ts, tc, tn, active, config,
+                               bbox_size=bbox, chunk=16)
+    pal = raster_pallas.rasterize(ts, tc, tn, active, config, interpret=True)
+    return ref, pal
+
+
+def assert_match(ref, pal, edge_tol=0.0):
+    """Compare G-buffers; ``edge_tol`` is the allowed fraction of differing
+    pixels (plane-form λ vs ratio-form λ can disagree exactly on edges)."""
+    for a, b, tol in [(ref[1], pal[1], 1e-5), (ref[0], pal[0], 0.5),
+                      (ref[2], pal[2], 1e-3)]:
+        a, b = np.asarray(a), np.asarray(b)
+        frac = (np.abs(a - b).max(axis=-1) > tol).mean()
+        assert frac <= edge_tol, f"mismatch fraction {frac} > {edge_tol}"
+
+
+def test_single_triangle():
+    config = RenderConfig(height=64, width=128, fov=90)
+    tris = np.array([[[-0.5, -0.5, 1.0], [0.5, -0.5, 1.0], [0.0, 0.5, 1.0]]],
+                    np.float32)
+    normals = np.full((1, 3, 3), [0, 0, -1], np.float32)
+    colors = np.full((1, 3, 3), 200.0, np.float32)
+    ref, pal = run_both(tris, colors, normals, config)
+    assert np.asarray(pal[0]).max() > 0
+    assert_match(ref, pal)
+
+
+def test_random_scene():
+    config = RenderConfig(height=96, width=128, fov=60)
+    tris, colors, normals = random_scene(t=60, seed=1)
+    ref, pal = run_both(tris, colors, normals, config)
+    assert_match(ref, pal)
+
+
+def test_dense_overlap_scene():
+    """Many overlapping triangles → deep z-resolve with ties."""
+    config = RenderConfig(height=64, width=64, fov=60)
+    tris, colors, normals = random_scene(t=120, seed=3)
+    # squash z so triangles overlap heavily
+    tris[..., 2] = 1.0 + 0.01 * tris[..., 2]
+    ref, pal = run_both(tris, colors, normals, config)
+    assert_match(ref, pal, edge_tol=1e-3)
+
+
+def test_determinism():
+    config = RenderConfig(height=64, width=64, fov=60)
+    tris, colors, normals = random_scene(t=40, seed=5)
+    _, pal1 = run_both(tris, colors, normals, config)
+    _, pal2 = run_both(tris, colors, normals, config)
+    for a, b in zip(pal1, pal2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_capacity_overflow_retry():
+    """Filler grows its pair-capacity bucket when the scene grows."""
+    import jax
+
+    from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+    from cython3dmodelrenderer_tpu.ops import binning
+
+    config = RenderConfig(height=64, width=64, fov=60)
+    tris, colors, normals = random_scene(t=8, seed=7)
+    filler = AdvancedPixelBufferFiller(64, 64, fov=60, backend="jnp")
+    # exercise capacity_bucket monotonicity directly (host-level logic)
+    small = binning.capacity_bucket(10, 128)
+    big = binning.capacity_bucket(100000, 128)
+    assert small < big and small % 4096 == 0 and big >= 100000 + 128

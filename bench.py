@@ -32,9 +32,11 @@ def main():
     tn = model.normals_by_triangles
     tc = model.colors_by_triangles
 
-    # warm-up / compile
-    color, z, normal = filler._rasterize(tv, tn, tc)
-    jax.block_until_ready((color, z, normal))
+    # warm-up / compile — two rounds: the filler re-specializes its static
+    # capacity buckets after the first frame, which triggers one recompile
+    for _ in range(3):
+        color, z, normal = filler._rasterize(tv, tn, tc)
+        jax.block_until_ready((color, z, normal))
 
     n_iter = 20
     t0 = time.perf_counter()

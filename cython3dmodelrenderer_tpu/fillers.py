@@ -71,7 +71,9 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         # Cached static pair-capacity bucket for the Pallas binner: lets
         # steady-state frames run with zero host syncs (overflow → retry).
         self._p_cap: Optional[int] = None
+        self._grid_cap: Optional[int] = None
         self._last_total = None
+        self._last_active = None
 
     def get_size(self) -> Tuple[int, int]:
         return self.config.height, self.config.width
@@ -124,20 +126,31 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         if backend == "pallas":
             from .ops import binning, raster_pallas
 
+            ntx = -(-self.config.width // 128)
+            nty = -(-self.config.height // 8)
             if self._p_cap is None:
                 # One-time sizing sync: learn the scene's pair count, cache a
-                # bucket with 2x headroom so animation never re-syncs. The
-                # steady-state path below is exactly one dispatch per frame.
+                # bucket with 25% headroom (binning cost scales with it) so
+                # animation never re-syncs; validate_capacity() grows the
+                # buckets if a later frame overflows. The steady-state path
+                # below is exactly one dispatch per frame.
                 tris_screen, active = _geometry_stage(tri_verts, tri_norms,
                                                       self.config)
                 *_h, total = raster_pallas._stage_a(
                     tris_screen, tri_colors, tri_norms, active, self.config,
                     8, 128)
-                # 25% headroom: binning cost scales with the bucket, so keep
-                # it tight; validate_capacity() grows it if a frame overflows
                 self._p_cap = binning.capacity_bucket(int(total) * 5 // 4, 128)
-            out, self._last_total = raster_pallas.render_frame(
-                tri_verts, tri_norms, tri_colors, self.config, self._p_cap)
+            grid_cap = self._grid_cap or ntx * nty
+            out, self._last_total, self._last_active = \
+                raster_pallas.render_frame(
+                    tri_verts, tri_norms, tri_colors, self.config,
+                    self._p_cap, grid_cap)
+            if self._grid_cap is None:
+                # one-time: shrink the raster grid to the active tile count
+                # (blocks only on the already-dispatched frame's stage)
+                self._grid_cap = min(
+                    ntx * nty,
+                    max(128, -(-int(self._last_active) * 5 // 4 // 128) * 128))
             return out
         tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
         bbox = raster_ref.required_bbox_size(tris_screen, active, self.config)
@@ -157,11 +170,17 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
         if self._p_cap is None or self._last_total is None:
             return True
+        ok = True
         t = int(self._last_total)
-        if t <= self._p_cap:
-            return True
-        self._p_cap = binning.capacity_bucket(2 * t, 128)
-        return False
+        if t > self._p_cap:
+            self._p_cap = binning.capacity_bucket(2 * t, 128)
+            ok = False
+        if self._grid_cap is not None and self._last_active is not None:
+            a = int(self._last_active)
+            if a > self._grid_cap:
+                self._grid_cap = -(-2 * a // 128) * 128
+                ok = False
+        return ok
 
     # buffer getters, cy-reference naming (pyx:246-253)
     def get_color_buffer(self) -> jnp.ndarray:

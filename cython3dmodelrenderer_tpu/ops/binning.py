@@ -120,6 +120,25 @@ def capacity_bucket(total: int, chunk: int, bucket: int = 4096) -> int:
     return -(-(total + chunk) // bucket) * bucket
 
 
+def bin_pairs_fast(rows: jnp.ndarray, tx0, cx, ty0, cy,
+                   p_cap: int, ntx: int, nty: int, chunk: int):
+    """Counting-sort binning via the Pallas placement kernel.
+
+    Same contract as ``bin_pairs`` but O(pairs) instead of a bitonic sort.
+    Not usable under Pallas interpret mode (scalar placement loops are
+    prohibitively slow interpreted) — tests use ``bin_pairs``.
+    """
+    from .binsort_pallas import bin_sort
+
+    order, tile_starts, tile_counts, _total, active_ids, n_active = bin_sort(
+        tx0, cx, ty0, cy, ntx=ntx, nty=nty, p_cap=p_cap)
+    rows_padded = jnp.concatenate(
+        [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)])
+    binned = rows_padded[order]                     # padding slots → zero row
+    binned = jnp.pad(binned, ((0, chunk), (0, 0)))  # chunk-tail guard
+    return binned, tile_starts, tile_counts, active_ids, n_active
+
+
 def bin_pairs(rows: jnp.ndarray, tx0, cx, ty0, cy, counts,
               p_cap: int, ntx: int, nty: int, chunk: int):
     """Expand, sort, and gather triangle plane rows into per-tile bins.

@@ -1,0 +1,157 @@
+"""Pallas counting-sort binning — replaces XLA's bitonic sort.
+
+XLA lowers the pair sort in ``binning.bin_pairs`` to a bitonic-network while
+loop (O(P log² P) vector passes); counting sort is O(P) and splits cleanly
+across the TPU's units:
+
+* **histogram + scan stay in XLA**: per-tile pair counts are a separable
+  membership matmul ``myᵀ @ mx`` over (T, n_tiles_y/x) masks — exact in f32
+  on the MXU — and bin starts are one tiny cumsum;
+* **placement runs here**: walk triangles in ascending index order, emitting
+  each triangle's index at its bin cursor (SMEM scalar loop). Ascending
+  order per tile is exactly the stable order the depth-tie rule needs.
+
+The pair list is never materialized — the kernel iterates (tx0, cx, ty0, cy)
+spans directly, with a fast path for the ~85% of triangles that cover a
+single tile. Unused capacity slots hold triangle index T; the caller pads
+its row table with a zero row there, so padding fails every bbox test with
+no masking. Scalar stores must target SMEM, and SMEM output windows pad each
+row to 512 bytes — hence the (N/128, 128) output shapes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(t: int, n_tiles: int, ntx: int, p_cap: int):
+    def kernel(tx0_ref, cx_ref, ty0_ref, cy_ref, starts_ref, total_ref,
+               order_ref, active_ref, misc_ref, cursors):
+        # cursors: SMEM scratch (n_tiles,) initialized from the bin starts.
+        # While walking tiles, also emit the compacted list of non-empty
+        # tiles (the raster grid only visits those).
+        def init(i, k):
+            s = starts_ref[i]
+            cursors[i] = s
+            nxt = jnp.where(i + 1 < n_tiles, starts_ref[i + 1], total_ref[0])
+            nonempty = nxt > s
+
+            @pl.when(nonempty)
+            def _():
+                active_ref[k // 128, k % 128] = i
+
+            return k + nonempty.astype(jnp.int32)
+
+        n_active = jax.lax.fori_loop(0, n_tiles, init, 0)
+        misc_ref[0, 0] = n_active
+
+        # Pad the active list with the sentinel tile id (= n_tiles): those
+        # grid steps write the out-of-image scratch block.
+        def afill(i, _):
+            active_ref[i // 128, i % 128] = n_tiles
+            return 0
+
+        jax.lax.fori_loop(n_active, n_tiles, afill, 0)
+
+        # Pad slots [total, p_cap) with the zero-row index.
+        def fill(i, _):
+            order_ref[i // 128, i % 128] = t
+            return 0
+
+        jax.lax.fori_loop(total_ref[0], p_cap, fill, 0)
+
+        # Placement in ascending triangle order (stable per tile).
+        def place(tri, _):
+            cx = cx_ref[tri]
+            cy = cy_ref[tri]
+            base = ty0_ref[tri] * ntx + tx0_ref[tri]
+
+            @pl.when(cx * cy == 1)
+            def _():          # fast path: single-tile triangle
+                pos = cursors[base]
+                order_ref[pos // 128, pos % 128] = tri
+                cursors[base] = pos + 1
+
+            @pl.when((cx * cy != 1) & (cx * cy > 0))
+            def _():
+
+                def over_y(dy, _):
+                    row0 = base + dy * ntx
+
+                    def over_x(dx, _):
+                        tile = row0 + dx
+                        pos = cursors[tile]
+
+                        @pl.when(pos < p_cap)
+                        def _():
+                            order_ref[pos // 128, pos % 128] = tri
+
+                        cursors[tile] = pos + 1
+                        return 0
+
+                    jax.lax.fori_loop(0, cx, over_x, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, cy, over_y, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, t, place, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ntx", "nty", "p_cap"))
+def bin_sort(tx0, cx, ty0, cy, ntx: int, nty: int, p_cap: int):
+    """Counting-sort triangles into tile bins.
+
+    Args are (T,) int32 tile spans (inactive triangles have cx or cy == 0).
+    Returns (order (p_cap,) int32 with padding slots == T, tile_starts
+    (n_tiles,), tile_counts (n_tiles,), total).
+    """
+    t = tx0.shape[0]
+    n_tiles = ntx * nty
+    assert p_cap % 128 == 0 and n_tiles % 128 == 0, \
+        "p_cap and n_tiles must be multiples of 128"
+
+    # Histogram on the MXU: tile (y, x) count = Σ_t my[t, y]·mx[t, x].
+    xs = jnp.arange(ntx, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(nty, dtype=jnp.int32)[None, :]
+    mx = ((xs >= tx0[:, None]) & (xs < (tx0 + cx)[:, None])).astype(jnp.float32)
+    my = ((ys >= ty0[:, None]) & (ys < (ty0 + cy)[:, None])).astype(jnp.float32)
+    # guard: zero-span triangles contribute nothing (cx or cy == 0 → mask 0)
+    counts2d = jnp.matmul(my.T, mx, precision="highest")     # (nty, ntx)
+    counts = counts2d.reshape(-1).astype(jnp.int32)          # (n_tiles,)
+    csum = jnp.cumsum(counts)
+    total = csum[-1]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
+
+    kernel = _make_kernel(t, n_tiles, ntx, p_cap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(1,),
+        in_specs=[],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((n_tiles,), jnp.int32),
+        ],
+    )
+    order, active_ids, misc = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((p_cap // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+    )(tx0, cx, ty0, cy, starts, total.reshape(1))
+    return (order.reshape(-1), starts, counts, total,
+            active_ids.reshape(-1), misc[0, 0])

@@ -48,6 +48,10 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
     def kernel(starts_ref, counts_ref, binned_ref,
                out_ref,
                buf, zacc, attracc, sems):
+        # NOTE: a compacted grid over only non-empty tiles (scalar-prefetched
+        # tile ids driving the output index_map) was tried and is ~12x SLOWER:
+        # data-dependent output windows defeat Mosaic's output pipelining.
+        # Empty tiles cost little on the static grid (no chunks, one write).
         i = pl.program_id(0)
         start = starts_ref[i]
         count = counts_ref[i]
@@ -215,34 +219,43 @@ def _plane_stage(tris_screen, colors, normals, active,
 
 
 def _stage_b(rows, tx0, cx, ty0, cy, counts,
-             config: RenderConfig, p_cap: int,
+             config: RenderConfig, p_cap: int, grid_cap: int,
              tile_h: int, tile_w: int, chunk: int, interpret: bool):
-    """Bin → Pallas raster; returns finished (color, z, normal) G-buffers."""
+    """Bin → Pallas raster; returns ((color, z, normal), n_active)."""
     h, w = config.height, config.width
     ntx = -(-w // tile_w)
     nty = -(-h // tile_h)
-    binned, tile_starts, tile_counts = binning.bin_pairs(
-        rows, tx0, cx, ty0, cy, counts, p_cap, ntx, nty, chunk)
+    n_tiles = ntx * nty
+    del grid_cap  # grid compaction regressed perf; kept for API stability
+    if interpret or n_tiles % 128 != 0 or p_cap % 128 != 0:
+        binned, tile_starts, tile_counts = binning.bin_pairs(
+            rows, tx0, cx, ty0, cy, counts, p_cap, ntx, nty, chunk)
+        n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
+    else:
+        binned, tile_starts, tile_counts, _active_ids, n_active = \
+            binning.bin_pairs_fast(rows, tx0, cx, ty0, cy, p_cap, ntx, nty,
+                                   chunk)
     cb, cg, cr, z_img, nx, ny, nz = _raster_tiles(
-        binned, tile_starts, tile_counts, p_cap, ntx, nty,
-        tile_h, tile_w, chunk, config.z_init, interpret)
+        binned, tile_starts, tile_counts, p_cap,
+        ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret)
     color = jnp.stack([cb[:h, :w], cg[:h, :w], cr[:h, :w]], axis=-1)
     normal = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
-    return color, z_img[:h, :w, None], normal
+    return (color, z_img[:h, :w, None], normal), n_active
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "config", "p_cap", "tile_h", "tile_w", "chunk", "interpret"))
+    "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret"))
 def render_frame(tri_verts, tri_norms, tri_colors,
-                 config: RenderConfig, p_cap: int,
+                 config: RenderConfig, p_cap: int, grid_cap: int,
                  tile_h: int = 8, tile_w: int = 128, chunk: int = 128,
                  interpret: bool = False):
     """Whole frame as ONE dispatch: geometry → bin → raster.
 
     Per-dispatch overhead matters (over a remote-device tunnel it dominates),
     so the steady-state animation path is exactly one jitted call per frame
-    with a cached static ``p_cap``. Returns ((color, z, normal), total_pairs)
-    — the caller may (lazily) verify ``total_pairs <= p_cap``.
+    with cached static capacities. Returns ((color, z, normal), total_pairs,
+    n_active_tiles) — the caller may (lazily) verify ``total_pairs <= p_cap``
+    and ``n_active_tiles <= grid_cap``.
     """
     from .projection import project_to_screen, visibility_masks
 
@@ -251,9 +264,10 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     tris_screen = project_to_screen(tri_verts, config)
     rows, tx0, cx, ty0, cy, counts, total = _plane_stage(
         tris_screen, tri_colors, tri_norms, active, config, tile_h, tile_w)
-    out = _stage_b(rows, tx0, cx, ty0, cy, counts,
-                   config, p_cap, tile_h, tile_w, chunk, interpret)
-    return out, total
+    out, n_active = _stage_b(rows, tx0, cx, ty0, cy, counts,
+                             config, p_cap, grid_cap, tile_h, tile_w, chunk,
+                             interpret)
+    return out, total, n_active
 
 
 def rasterize(tris_screen: jnp.ndarray,
@@ -275,10 +289,14 @@ def rasterize(tris_screen: jnp.ndarray,
     rows, tx0, cx, ty0, cy, counts, total = _stage_a(
         tris_screen, colors, normals, active, config, tile_h, tile_w)
     p_cap = binning.capacity_bucket(int(total), chunk)
-    return _stage_b_jit(rows, tx0, cx, ty0, cy, counts, config=config,
-                        p_cap=p_cap, tile_h=tile_h, tile_w=tile_w,
-                        chunk=chunk, interpret=interpret)
+    ntx = -(-config.width // tile_w)
+    nty = -(-config.height // tile_h)
+    out, _n_active = _stage_b_jit(
+        rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
+        grid_cap=ntx * nty, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+        interpret=interpret)
+    return out
 
 
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
-    "config", "p_cap", "tile_h", "tile_w", "chunk", "interpret"))
+    "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret"))

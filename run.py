@@ -25,8 +25,13 @@ def tpu_renderer(model, out_path="output/T-Rex.png", size=1024):
                         *filler.get_size())
     image = renderer.render(model)
 
-    # warm frames: the pipeline is compiled now, time amortized throughput
+    # warm frames: the filler re-specializes its capacity buckets after the
+    # first frame (one extra compile), so warm past that before timing
     import jax
+
+    for _ in range(2):
+        image = renderer.render(model)
+    jax.block_until_ready(image.array)
 
     n = 10
     t0 = time.perf_counter()

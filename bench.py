@@ -1,56 +1,156 @@
-"""Headline benchmark: T-Rex.obj @ 1024x1024, README pose, fov=45.
+"""Benchmarks for the BASELINE configs.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the speedup over the reference's best published number —
-Version C with 8 OpenMP threads at 9 ms/frame (BASELINE.md, README.md:76).
+Default invocation prints ONE JSON line — the headline metric (T-Rex.obj @
+1024x1024, README pose, fov=45; reference best: Version C / 8 threads at
+9 ms per frame, README.md:76). ``--config {cube,bunny,trex,igor,turntable,
+all}`` benchmarks the other BASELINE.md configs, one JSON line each.
+
+The igor config's mesh is pruned from the mounted reference
+(.MISSING_LARGE_BLOBS) — basketball.obj substitutes as the textured mesh with
+igor's texture, exercising the same path (MTL texture sampling + Lambert).
 """
+import argparse
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
 BASELINE_MS = 9.0  # Version C, 8 threads (reference README.md:76)
+OBJECTS = os.environ.get("CRENDER_OBJECTS", "/root/reference/objects")
 
 
-def main():
+def _posed(name, pose=True):
+    from cython3dmodelrenderer_tpu import Model, fit_model
+
+    kwargs = {}
+    if name == "basketball.obj":  # igor substitute: external texture
+        kwargs["external_texture_filename"] = os.path.join(
+            OBJECTS, "igor_texture.png")
+    model = Model.read_model(os.path.join(OBJECTS, name), **kwargs)
+    if pose:
+        model.rotate([-90, 180, 0])
+        model.rotate([10, -80, 0])
+    fit_model(model)
+    return model
+
+
+def _time_frames(fn, n_warm=3, n_iter=20):
     import jax
 
+    for _ in range(n_warm):
+        out = fn()
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iter * 1e3
+
+
+def _bench_single(model, size, fov, illum, metric, vs_baseline=None):
+    import jax.numpy as jnp
+
     from cython3dmodelrenderer_tpu import (AdvancedPixelBufferFiller,
-                                           Model, fit_model)
-    from cython3dmodelrenderer_tpu.config import RenderConfig
+                                           GuroIllumination, NoIllumination)
 
-    objects = os.environ.get("CRENDER_OBJECTS", "/root/reference/objects")
-    model = Model.read_model(os.path.join(objects, "T-Rex.obj"))
-    model.rotate([-90, 180, 0])
-    model.rotate([10, -80, 0])
-    fit_model(model)
-
-    filler = AdvancedPixelBufferFiller(1024, 1024, fov=45)
+    filler = AdvancedPixelBufferFiller(size, size, fov=fov)
     tv = model.vertices_by_triangles
     tn = model.normals_by_triangles
     tc = model.colors_by_triangles
+    if tc is None:
+        rng = np.random.RandomState(0)
+        per_tri = rng.randint(256, size=(model.n_triangles(), 3))
+        tc = jnp.asarray(np.repeat(per_tri[:, None, :], 3, axis=1)
+                         .astype(np.float32))
+    shader = GuroIllumination([0, 0, 1]) if illum else NoIllumination()
 
-    # warm-up / compile — two rounds: the filler re-specializes its static
-    # capacity buckets after the first frame, which triggers one recompile
-    for _ in range(3):
+    def frame():
         color, z, normal = filler._rasterize(tv, tn, tc)
-        jax.block_until_ready((color, z, normal))
+        return shader.apply(color, normal)
 
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        color, z, normal = filler._rasterize(tv, tn, tc)
-    jax.block_until_ready((color, z, normal))
-    ms = (time.perf_counter() - t0) / n_iter * 1e3
-
-    print(json.dumps({
-        "metric": "T-Rex.obj 1024x1024 ms/frame (README pose, fov=45)",
+    ms = _time_frames(frame)
+    tris = model.n_triangles()
+    out = {
+        "metric": metric,
         "value": round(ms, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / ms, 3),
-    }))
+        "mtris_per_sec": round(tris / ms / 1e3, 3),
+    }
+    if vs_baseline is not None:
+        out["vs_baseline"] = round(vs_baseline / ms, 3)
+    return out
+
+
+def bench_trex():
+    return _bench_single(_posed("T-Rex.obj"), 1024, 45, illum=False,
+                         metric="T-Rex.obj 1024x1024 ms/frame "
+                                "(README pose, fov=45)",
+                         vs_baseline=BASELINE_MS)
+
+
+def bench_cube():
+    return _bench_single(_posed("cube.obj", pose=False), 256, 90, illum=False,
+                         metric="cube.obj 256x256 ms/frame (flat color)")
+
+
+def bench_bunny():
+    return _bench_single(_posed("bunny.obj"), 512, 45, illum=False,
+                         metric="bunny.obj 512x512 ms/frame (z-test)")
+
+
+def bench_igor():
+    return _bench_single(_posed("basketball.obj"), 1024, 45, illum=True,
+                         metric="igor-substitute (basketball+igor texture) "
+                                "1024x1024 ms/frame (textured + Lambert)")
+
+
+def bench_turntable():
+    import jax
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.config import RenderConfig
+    from cython3dmodelrenderer_tpu.parallel import multiview
+
+    model = _posed("T-Rex.obj")
+    model.shift([0.0, 0.0, -1.0])  # recenter: turntable re-applies the shift
+    tv = model.vertices_by_triangles
+    tn = model.normals_by_triangles
+    tc = jnp.asarray(model.colors_by_triangles, jnp.float32)
+    config = RenderConfig(height=1024, width=1024, fov=45)
+    p_cap = multiview.turntable_capacity(tv, tn, config)
+    angles = multiview.turntable_angles(64)
+
+    def sweep():
+        return multiview.render_turntable_pallas(tv, tn, tc, angles, config,
+                                                 p_cap=p_cap)
+
+    ms = _time_frames(sweep, n_warm=2, n_iter=3)
+    return {
+        "metric": "64-camera T-Rex turntable 1024x1024 ms/view",
+        "value": round(ms / 64, 3),
+        "unit": "ms",
+        "views": 64,
+        "sweep_ms": round(ms, 1),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="trex",
+                        choices=["trex", "cube", "bunny", "igor",
+                                 "turntable", "all"])
+    args = parser.parse_args()
+    benches = {
+        "trex": bench_trex,
+        "cube": bench_cube,
+        "bunny": bench_bunny,
+        "igor": bench_igor,
+        "turntable": bench_turntable,
+    }
+    names = list(benches) if args.config == "all" else [args.config]
+    for name in names:
+        print(json.dumps(benches[name]()))
 
 
 if __name__ == "__main__":

@@ -157,6 +157,21 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         return raster_ref.rasterize(tris_screen, tri_colors, tri_norms, active,
                                     self.config, bbox_size=bbox)
 
+    def get_render_stats(self) -> dict:
+        """Stats of the last rendered frame (host sync on device scalars).
+
+        Returns triangle→tile pair count and non-empty tile count for the
+        Pallas backend (None on the jnp path) — the observability hook the
+        reference lacked (SURVEY §5).
+        """
+        return {
+            "pairs": (int(self._last_total)
+                      if self._last_total is not None else None),
+            "active_tiles": (int(self._last_active)
+                             if self._last_active is not None else None),
+            "pair_capacity": self._p_cap,
+        }
+
     def validate_capacity(self) -> bool:
         """Check (with a host sync) that the last Pallas frame's bins fit.
 

@@ -84,7 +84,7 @@ def render_turntable(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                      tri_colors: jnp.ndarray, angles: jnp.ndarray,
                      config: RenderConfig, post_shift=(0.0, 0.0, 1.0),
                      bbox_size: int = 64, chunk: int = 512) -> jnp.ndarray:
-    """vmapped multi-view render on one chip.
+    """vmapped multi-view render on one chip (jnp backend).
 
     ``tri_verts`` should be centered (fit_model without the final z shift);
     each view rotates the model by its angle triple then shifts by
@@ -100,6 +100,71 @@ def render_turntable(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     return jax.vmap(one)(angles)
 
 
+@partial(jax.jit, static_argnames=("config", "p_cap", "chunk"))
+def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
+                            tri_colors: jnp.ndarray, angles: jnp.ndarray,
+                            config: RenderConfig, p_cap: int,
+                            post_shift=(0.0, 0.0, 1.0), chunk: int = 128,
+                            light_direction=(0.0, 0.0, 1.0)) -> jnp.ndarray:
+    """Multi-view render through the Pallas rasterizer (one chip).
+
+    Views run sequentially via ``lax.map`` — each view saturates the chip, so
+    batching across views buys nothing on a single core, and the Pallas grid
+    cannot be vmapped (``program_id`` semantics). ``p_cap`` is the static
+    bin capacity; size it with ``turntable_capacity``.
+    """
+    from ..ops import raster_pallas
+
+    ntx = -(-config.width // 128)
+    nty = -(-config.height // 8)
+    light = -jnp.asarray(light_direction, jnp.float32)
+    light = light / jnp.linalg.norm(light)
+
+    def one(angle3):
+        v, n = _pose_triangles(tri_verts, tri_norms, angle3, post_shift)
+        degenerate, backfacing = visibility_masks(v, n)
+        act = jnp.logical_and(~degenerate, ~backfacing)
+        ts = project_to_screen(v, config)
+        rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
+            ts, tri_colors, n, act, config, 8, 128)
+        (color, _z, normal), _na = raster_pallas._stage_b(
+            rows, tx0, cx, ty0, cy, counts, config, p_cap, ntx * nty,
+            8, 128, chunk, False)
+        dot = jnp.sum(normal * light, axis=-1, keepdims=True)
+        nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+        shadow = jnp.clip(dot / (nn + 1e-6), 0.0, 1.0)
+        return color * shadow
+
+    return jax.lax.map(one, angles)
+
+
+def turntable_capacity(tri_verts, tri_norms, config: RenderConfig,
+                       n_samples: int = 8, headroom: float = 1.5,
+                       post_shift=(0.0, 0.0, 1.0)) -> int:
+    """Static bin capacity covering a full turntable sweep (one host sync).
+
+    Samples pair counts at ``n_samples`` angles and applies ``headroom``.
+    """
+    from ..ops import binning, raster_pallas
+
+    angles = turntable_angles(n_samples)
+
+    @partial(jax.jit, static_argnames=())
+    def totals(tv, tn, ang):
+        def one(angle3):
+            v, n = _pose_triangles(tv, tn, angle3, post_shift)
+            degenerate, backfacing = visibility_masks(v, n)
+            act = jnp.logical_and(~degenerate, ~backfacing)
+            ts = project_to_screen(v, config)
+            _, _, cx, _, cy, _ = binning.plane_data(ts, act, config, 8, 128)
+            return jnp.sum(cx * cy)
+
+        return jnp.max(jax.lax.map(one, ang))
+
+    peak = int(totals(tri_verts, tri_norms, angles))
+    return binning.capacity_bucket(int(peak * headroom), 128)
+
+
 # --------------------------------------------------------------------------
 # View-sharded rendering (data parallel over cameras)
 # --------------------------------------------------------------------------
@@ -108,12 +173,15 @@ def render_turntable(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
 def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
                              config: RenderConfig, mesh: Mesh,
                              axis: str = "views", post_shift=(0.0, 0.0, 1.0),
-                             bbox_size: int = 64, chunk: int = 512):
+                             bbox_size: int = 64, chunk: int = 512,
+                             backend: str = "jnp", p_cap: int = None):
     """shard_map the turntable over a mesh axis: each device renders N/D views.
 
     Geometry is replicated (it is small); views are sharded. No collectives
     are needed — the output stays sharded over views for the caller to gather
-    or write out per shard.
+    or write out per shard. ``backend="pallas"`` runs the Pallas rasterizer
+    per device (requires ``p_cap`` from ``turntable_capacity``; real TPU
+    meshes only).
     """
     n_dev = mesh.shape[axis]
     assert angles.shape[0] % n_dev == 0, \
@@ -122,6 +190,10 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P(axis)), out_specs=P(axis))
     def shard(tv, tn, tc, ang):
+        if backend == "pallas":
+            return render_turntable_pallas(tv, tn, tc, ang, config,
+                                           p_cap=p_cap,
+                                           post_shift=post_shift)
         return render_turntable(tv, tn, tc, ang, config,
                                 post_shift=post_shift, bbox_size=bbox_size,
                                 chunk=chunk)

@@ -82,3 +82,21 @@ class Buffer:
     def clear(self) -> None:
         self._buffer = jnp.full((self._height, self._width, self._dim),
                                 self._init_val, dtype=self._dtype)
+
+    # -- persistence (checkpoint/resume — SURVEY §5: the reference only had
+    #    cv2.imwrite of the final frame) ------------------------------------
+
+    def save(self, filename: str) -> None:
+        """Checkpoint the buffer (lossless, dtype-preserving .npz)."""
+        np.savez(filename, buffer=np.asarray(self._buffer),
+                 init_val=self._init_val)
+
+    @classmethod
+    def load(cls, filename: str) -> "Buffer":
+        """Restore a buffer checkpointed with :meth:`save`."""
+        data = np.load(filename)
+        arr = data["buffer"]
+        buf = cls(arr.shape[0], arr.shape[1], dim=arr.shape[2],
+                  dtype=str(arr.dtype), init_val=data["init_val"].item())
+        buf._buffer = jnp.asarray(arr)
+        return buf

@@ -130,13 +130,14 @@ def bin_pairs_fast(rows: jnp.ndarray, tx0, cx, ty0, cy,
     """
     from .binsort_pallas import bin_sort
 
-    order, tile_starts, tile_counts, _total, active_ids, n_active = bin_sort(
+    order, tile_starts, tile_counts, _total, n_active = bin_sort(
         tx0, cx, ty0, cy, ntx=ntx, nty=nty, p_cap=p_cap)
     rows_padded = jnp.concatenate(
         [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)])
-    binned = rows_padded[order]                     # padding slots → zero row
+    binned = rows_padded[order]            # clamped stale slots → real rows,
+    # which provably cannot affect any tile's output (see binsort_pallas)
     binned = jnp.pad(binned, ((0, chunk), (0, 0)))  # chunk-tail guard
-    return binned, tile_starts, tile_counts, active_ids, n_active
+    return binned, tile_starts, tile_counts, n_active
 
 
 def bin_pairs(rows: jnp.ndarray, tx0, cx, ty0, cy, counts,

@@ -30,39 +30,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _make_kernel(t: int, n_tiles: int, ntx: int, p_cap: int):
     def kernel(tx0_ref, cx_ref, ty0_ref, cy_ref, starts_ref, total_ref,
-               order_ref, active_ref, misc_ref, cursors):
+               order_ref, cursors):
+        del total_ref
         # cursors: SMEM scratch (n_tiles,) initialized from the bin starts.
-        # While walking tiles, also emit the compacted list of non-empty
-        # tiles (the raster grid only visits those).
-        def init(i, k):
-            s = starts_ref[i]
-            cursors[i] = s
-            nxt = jnp.where(i + 1 < n_tiles, starts_ref[i + 1], total_ref[0])
-            nonempty = nxt > s
-
-            @pl.when(nonempty)
-            def _():
-                active_ref[k // 128, k % 128] = i
-
-            return k + nonempty.astype(jnp.int32)
-
-        n_active = jax.lax.fori_loop(0, n_tiles, init, 0)
-        misc_ref[0, 0] = n_active
-
-        # Pad the active list with the sentinel tile id (= n_tiles): those
-        # grid steps write the out-of-image scratch block.
-        def afill(i, _):
-            active_ref[i // 128, i % 128] = n_tiles
+        def init(i, _):
+            cursors[i] = starts_ref[i]
             return 0
 
-        jax.lax.fori_loop(n_active, n_tiles, afill, 0)
+        jax.lax.fori_loop(0, n_tiles, init, 0)
 
-        # Pad slots [total, p_cap) with the zero-row index.
-        def fill(i, _):
-            order_ref[i // 128, i % 128] = t
-            return 0
-
-        jax.lax.fori_loop(total_ref[0], p_cap, fill, 0)
+        # Capacity slots beyond the placed pairs stay UNINITIALIZED: the
+        # caller clamps the permutation, so stale slots gather some real
+        # row — provably harmless (a real row either fails the reading
+        # tile's bbox test or duplicates an entry already in its bin), and
+        # the rendered output is identical either way.
 
         # Placement in ascending triangle order (stable per tile).
         def place(tri, _):
@@ -135,23 +116,19 @@ def bin_sort(tx0, cx, ty0, cy, ntx: int, nty: int, p_cap: int):
         num_scalar_prefetch=6,
         grid=(1,),
         in_specs=[],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.SMEM((n_tiles,), jnp.int32),
         ],
     )
-    order, active_ids, misc = pl.pallas_call(
+    order = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((p_cap // 128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles // 128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((1, 128), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((p_cap // 128, 128), jnp.int32),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tx0, cx, ty0, cy, starts, total.reshape(1))
-    return (order.reshape(-1), starts, counts, total,
-            active_ids.reshape(-1), misc[0, 0])
+    # clamp: unplaced capacity slots hold stale ints; any in-range row is
+    # harmless (see kernel note), index t is the zero pad row
+    order = jnp.clip(order.reshape(-1), 0, t)
+    n_active = jnp.sum((counts > 0).astype(jnp.int32))
+    return order, starts, counts, total, n_active

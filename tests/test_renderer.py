@@ -228,3 +228,16 @@ def test_golden_trex(trex_path):
     frac_big = (np.abs(ours.astype(np.float32) - golden.astype(np.float32))
                 .max(-1) > 20).mean()
     assert frac_big < 0.002, f"too many >20-diff pixels: {frac_big}"
+
+
+def test_buffer_save_load(tmp_path):
+    buf = Buffer(8, 8, dim=3, dtype="float32", init_val=2)
+    buf.set_pixel(3, 4, [9, 8, 7])
+    path = str(tmp_path / "ckpt.npz")
+    buf.save(path)
+    restored = Buffer.load(path)
+    np.testing.assert_array_equal(restored.get_image(), buf.get_image())
+    assert restored.get_size() == (8, 8)
+    # clear() restores the original init value
+    restored.clear()
+    assert restored.get_image()[0, 0, 0] == 2

@@ -19,7 +19,7 @@ TPU-first differences from the reference:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -25,8 +25,6 @@ Stages (all jit, static shapes):
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

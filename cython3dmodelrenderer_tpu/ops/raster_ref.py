@@ -26,7 +26,7 @@ to the fragment's, same formula/inputs) to emit color/normal/depth G-buffers.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -100,12 +100,13 @@ def render_turntable(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     return jax.vmap(one)(angles)
 
 
-@partial(jax.jit, static_argnames=("config", "p_cap", "chunk"))
+@partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret"))
 def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             tri_colors: jnp.ndarray, angles: jnp.ndarray,
                             config: RenderConfig, p_cap: int,
                             post_shift=(0.0, 0.0, 1.0), chunk: int = 128,
-                            light_direction=(0.0, 0.0, 1.0)) -> jnp.ndarray:
+                            light_direction=(0.0, 0.0, 1.0),
+                            interpret: bool = False) -> jnp.ndarray:
     """Multi-view render through the Pallas rasterizer (one chip).
 
     Views run sequentially via ``lax.map`` — each view saturates the chip, so
@@ -129,7 +130,7 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
             ts, tri_colors, n, act, config, 8, 128)
         (color, _z, normal), _na = raster_pallas._stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, ntx * nty,
-            8, 128, chunk, False)
+            8, 128, chunk, interpret)
         dot = jnp.sum(normal * light, axis=-1, keepdims=True)
         nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
         shadow = jnp.clip(dot / (nn + 1e-6), 0.0, 1.0)

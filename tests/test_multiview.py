@@ -79,3 +79,18 @@ def test_2d_mesh_views_by_tris():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_turntable_pallas_interpret_matches_jnp():
+    """Pallas multiview (interpret mode) == jnp multiview."""
+    tv, tn, tc = tiny_scene(t=24, seed=9)
+    angles = multiview.turntable_angles(3)
+    p_cap = multiview.turntable_capacity(tv, tn, CONFIG, n_samples=3)
+    pallas_out = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, CONFIG, p_cap=p_cap, interpret=True))
+    jnp_out = np.asarray(multiview.render_turntable(
+        tv, tn, tc, angles, CONFIG, bbox_size=32, chunk=8))
+    # same winners except float-rounding at triangle edges
+    frac = (np.abs(pallas_out - jnp_out).max(-1) > 0.5).mean()
+    assert frac < 1e-3, frac
+    assert pallas_out.max() > 0

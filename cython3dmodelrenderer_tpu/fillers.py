@@ -74,6 +74,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._grid_cap: Optional[int] = None
         self._last_total = None
         self._last_active = None
+        # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
+        self._group: int = 4
 
     def get_size(self) -> Tuple[int, int]:
         return self.config.height, self.config.width
@@ -129,28 +131,20 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             ntx = -(-self.config.width // 128)
             nty = -(-self.config.height // 8)
             if self._p_cap is None:
-                # One-time sizing sync: learn the scene's pair count, cache a
-                # bucket with 25% headroom (binning cost scales with it) so
-                # animation never re-syncs; validate_capacity() grows the
-                # buckets if a later frame overflows. The steady-state path
-                # below is exactly one dispatch per frame.
+                # One-time sizing sync: learn the scene's bin-slot demand,
+                # cache a bucket with 25% headroom (binning cost scales with
+                # it) so animation never re-syncs; validate_capacity() grows
+                # the bucket if a later frame overflows. The steady-state
+                # path below is exactly one dispatch per frame.
                 tris_screen, active = _geometry_stage(tri_verts, tri_norms,
                                                       self.config)
-                *_h, total = raster_pallas._stage_a(
-                    tris_screen, tri_colors, tri_norms, active, self.config,
-                    8, 128)
+                total = raster_pallas.grouped_slot_total(
+                    tris_screen, active, self.config, group=self._group)
                 self._p_cap = binning.capacity_bucket(int(total) * 5 // 4, 128)
-            grid_cap = self._grid_cap or ntx * nty
             out, self._last_total, self._last_active = \
                 raster_pallas.render_frame(
                     tri_verts, tri_norms, tri_colors, self.config,
-                    self._p_cap, grid_cap)
-            if self._grid_cap is None:
-                # one-time: shrink the raster grid to the active tile count
-                # (blocks only on the already-dispatched frame's stage)
-                self._grid_cap = min(
-                    ntx * nty,
-                    max(128, -(-int(self._last_active) * 5 // 4 // 128) * 128))
+                    self._p_cap, ntx * nty, group=self._group)
             return out
         tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
         bbox = raster_ref.required_bbox_size(tris_screen, active, self.config)

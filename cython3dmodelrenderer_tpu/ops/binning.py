@@ -84,6 +84,17 @@ def plane_data(tris_screen: jnp.ndarray, active: jnp.ndarray,
     xl, xr, yl, yr = bbox_ceil(tris_screen[..., :2], w, h)
     prio = jnp.arange(t, dtype=jnp.int32)
 
+    # SAFETY INVARIANT: a culled/empty triangle's packed row must have an
+    # empty bbox. Unplaced (stale) bin slots clamp to arbitrary row indices;
+    # that is only harmless if every row that can cover a pixel is provably
+    # present in that pixel's tile bin — true for placed rows, and made true
+    # for culled rows by zeroing their bbox here (they fail every bbox test).
+    nonempty = active & (xr > xl) & (yr > yl)
+    xl = jnp.where(nonempty, xl, 0)
+    xr = jnp.where(nonempty, xr, 0)
+    yl = jnp.where(nonempty, yl, 0)
+    yr = jnp.where(nonempty, yr, 0)
+
     cols = [a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz,
             xl.astype(jnp.float32), xr.astype(jnp.float32),
             yl.astype(jnp.float32), yr.astype(jnp.float32),
@@ -101,7 +112,6 @@ def plane_data(tris_screen: jnp.ndarray, active: jnp.ndarray,
     cols += [jnp.zeros_like(a0)] * (ROW_WIDTH - len(cols))
     rows = jnp.stack(cols, axis=1)
 
-    nonempty = active & (xr > xl) & (yr > yl)
     tx0 = jnp.where(nonempty, xl // tile_w, 0)
     tx1 = jnp.where(nonempty, (xr - 1) // tile_w, -1)
     ty0 = jnp.where(nonempty, yl // tile_h, 0)

@@ -41,9 +41,11 @@ def _make_kernel(t: int, n_tiles: int, ntx: int, p_cap: int):
 
         # Capacity slots beyond the placed pairs stay UNINITIALIZED: the
         # caller clamps the permutation, so stale slots gather some real
-        # row — provably harmless (a real row either fails the reading
-        # tile's bbox test or duplicates an entry already in its bin), and
-        # the rendered output is identical either way.
+        # row — harmless because plane_data zeroes the bbox of culled rows
+        # (SAFETY INVARIANT there): any row that can cover a pixel is in
+        # that pixel's own bin at an earlier rank, so it either duplicates
+        # a legit entry (losing the tie to the earlier lane) or fails the
+        # bbox test. The rendered output is identical either way.
 
         # Placement in ascending triangle order (stable per tile).
         def place(tri, _):
@@ -84,6 +86,119 @@ def _make_kernel(t: int, n_tiles: int, ntx: int, p_cap: int):
         jax.lax.fori_loop(0, t, place, 0)
 
     return kernel
+
+
+def _make_group_kernel(t: int, n_tiles: int, ntx: int, group: int, sub: int,
+                       slot_cap: int):
+    def kernel(tx0_ref, cx_ref, ty0_ref, cy_ref, gstarts_ref,
+               order_ref, cursors):
+        def init(i, _):
+            cursors[i] = 0
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, init, 0)
+
+        # Unplaced slots stay uninitialized — they clamp to arbitrary row
+        # indices downstream, which is safe because plane_data zeroes the
+        # bbox of culled rows (see the SAFETY INVARIANT there): any row that
+        # can cover a pixel is in that pixel's own bin at an earlier rank.
+
+        # Placement into group-interleaved slots: group g's chunk j holds
+        # [tile0 ranks 32j.., tile1, tile2, tile3] as 32-lane stripes.
+        def place(tri, _):
+            cxv = cx_ref[tri]
+            cyv = cy_ref[tri]
+            base_ty = ty0_ref[tri]
+            base_tx = tx0_ref[tri]
+
+            def over_y(dy, _):
+                ty = base_ty + dy
+                g_row = (ty // group) * ntx
+                s = ty % group
+
+                def over_x(dx, _):
+                    tx = base_tx + dx
+                    tile = ty * ntx + tx
+                    r = cursors[tile]
+                    pos = (gstarts_ref[g_row + tx]
+                           + (r // sub) * (group * sub)
+                           + s * sub + (r % sub))
+
+                    @pl.when(pos < slot_cap)
+                    def _():
+                        order_ref[pos // 128, pos % 128] = tri
+
+                    cursors[tile] = r + 1
+                    return 0
+
+                jax.lax.fori_loop(0, cxv, over_x, 0)
+                return 0
+
+            jax.lax.fori_loop(0, cyv, over_y, 0)
+            return 0
+
+        jax.lax.fori_loop(0, t, place, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ntx", "nty", "slot_cap",
+                                             "group", "sub", "interpret"))
+def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
+                     group: int = 4, sub: int = 32, interpret: bool = False):
+    """Counting-sort triangles into group-interleaved tile bins.
+
+    A "group" is ``group`` vertically-stacked tiles sharing one raster grid
+    step; each 128-slot chunk interleaves the tiles as ``sub``-lane stripes.
+    Group chunk count = max over its tiles of ceil(count/sub), so sparse
+    tiles ride along with their densest neighbor.
+
+    Returns (order (slot_cap,) i32 clamped, gstart_rows (n_groups,) i32 in
+    SLOTS, gchunks (n_groups,) i32, tile_counts (n_tiles,), total_slots,
+    n_active_tiles).
+    """
+    t = tx0.shape[0]
+    assert nty % group == 0 and group * sub == 128
+    n_tiles = ntx * nty
+    n_groups = ntx * (nty // group)
+    assert slot_cap % 128 == 0
+
+    # Histogram on the MXU (same trick as bin_sort).
+    xs = jnp.arange(ntx, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(nty, dtype=jnp.int32)[None, :]
+    mx = ((xs >= tx0[:, None]) & (xs < (tx0 + cx)[:, None])).astype(jnp.float32)
+    my = ((ys >= ty0[:, None]) & (ys < (ty0 + cy)[:, None])).astype(jnp.float32)
+    counts2d = jnp.matmul(my.T, mx, precision="highest")     # (nty, ntx)
+    tile_counts = counts2d.reshape(-1).astype(jnp.int32)
+    gmax = counts2d.reshape(nty // group, group, ntx).max(axis=1)
+    gchunks = ((gmax.astype(jnp.int32) + (sub - 1)) // sub).reshape(-1)
+    csum = jnp.cumsum(gchunks)
+    total_slots = 128 * csum[-1]
+    # length n_groups + 1: the extra tail entry (= total slots) lets the
+    # raster kernel read the global chunk count for cross-group prefetch
+    gstarts = 128 * jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                     csum.astype(jnp.int32)])
+
+    kernel = _make_group_kernel(t, n_tiles, ntx, group, sub, slot_cap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(1,),
+        in_specs=[],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.SMEM((n_tiles,), jnp.int32),
+        ],
+    )
+    order = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((slot_cap // 128, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tx0, cx, ty0, cy, gstarts)
+    order = jnp.clip(order.reshape(-1), 0, t)
+    n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
+    return order, gstarts, gchunks, tile_counts, total_slots, n_active
 
 
 @functools.partial(jax.jit, static_argnames=("ntx", "nty", "p_cap"))

@@ -178,6 +178,201 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
     return kernel
 
 
+def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
+                         group: int, z_init: float):
+    """Grouped kernel: one grid step = ``group`` vertically-stacked tiles.
+
+    Chunks interleave the tiles as 32-lane stripes (see
+    ``binsort_pallas.bin_sort_grouped``), so sparse tiles share their
+    chunk's lanes with denser neighbors — ~2-3x fewer chunk iterations than
+    one-tile-per-step on typical scenes. All winner reductions become
+    segmented roll-reductions over the 32-lane stripes.
+    """
+    sub = chunk // group
+    gh = group * tile_h
+
+    def kernel(gstarts_ref, gchunks_ref, binned_ref, out_ref,
+               buf, zacc, attracc, sems, pref):
+        i = pl.program_id(0)
+        start = gstarts_ref[i]
+        nchunks = gchunks_ref[i]
+        tx = i % ntx
+        gy = i // ntx
+
+        # pref (SMEM, persists across grid steps): highest chunk id whose
+        # DMA has been issued — group bins are contiguous AND 128-aligned,
+        # so the DMA stream pipelines ACROSS groups (the previous group's
+        # last iteration prefetches this group's first chunk).
+        @pl.when(i == 0)
+        def _():
+            pref[0] = -1
+
+        zstripe = jax.lax.broadcasted_iota(
+            jnp.int32, (gh, 8 * tile_w), 1) // tile_w == 3
+        bg_block = jnp.where(zstripe, jnp.float32(z_init), 0.0)
+
+        @pl.when(nchunks == 0)
+        def _():
+            out_ref[:] = bg_block
+
+        @pl.when(nchunks > 0)
+        def _():
+            _raster_group(start, nchunks, tx, gy, binned_ref, out_ref,
+                          buf, zacc, attracc, sems, pref,
+                          gstarts_ref[pl.num_programs(0)] // chunk)
+
+    def _raster_group(start, nchunks, tx, gy, binned_ref, out_ref,
+                      buf, zacc, attracc, sems, pref, total_chunks):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
+        seg = lane // sub
+        ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, 1), 1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0)
+        pxf = (tx * tile_w + ix).astype(jnp.float32)       # (TH, TW, 1)
+        # per-lane y offset: lane's stripe s covers image rows of tile
+        # gy*group + s
+        pyf = (gy * gh + seg * tile_h + iy).astype(jnp.float32)  # (TH, 1, K)
+
+        zacc[:] = jnp.full((tile_h, tile_w, chunk), jnp.inf, jnp.float32)
+
+        c0 = start // chunk
+
+        def get_dma(c):
+            return pltpu.make_async_copy(
+                binned_ref.at[pl.ds(c * chunk, chunk)],
+                buf.at[c % 2],
+                sems.at[c % 2],
+            )
+
+        def body(j, _):
+            c = c0 + j
+
+            # cold start: this chunk was not prefetched by a predecessor
+            @pl.when(pref[0] < c)
+            def _():
+                get_dma(c).start()
+
+            # prefetch the next global chunk (possibly the next group's)
+            @pl.when(c + 1 < total_chunks)
+            def _():
+                get_dma(c + 1).start()
+
+            pref[0] = jnp.where(c + 1 < total_chunks, c + 1, c)
+            get_dma(c).wait()
+            d = jnp.swapaxes(buf[c % 2], 0, 1)          # (ROW, K)
+
+            def row(r):
+                return d[r:r + 1, :].reshape(1, 1, chunk)
+
+            def plane(r):
+                return pxf * row(r) + pyf * row(r + 1) + row(r + 2)
+
+            l0 = plane(0)
+            l1 = plane(3)
+            l2 = plane(6)
+            z = plane(9)
+
+            cover = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+            okx = (pxf >= row(12)) & (pxf < row(13))
+            oky = (pyf >= row(14)) & (pyf < row(15))
+            zok = (z >= 0.0) & (z <= 1.0)
+            good = cover & okx & oky & zok
+            zc = jnp.where(good, z, jnp.inf)
+
+            # Fused segmented ARGMIN over the (z, attrs…) tuple: one windowed
+            # doubling pass; on ties the EARLIER lane wins (sequential
+            # first-writer semantics). Attribute planes ride along in the
+            # selects, so no separate winner mask or extraction reduces.
+            # NaN guard: loser lanes may hold NaN attr planes but their zc is
+            # +inf, so `take` never selects them over a finite z; all-loser
+            # segments keep zc == inf and the epilogue masks them out.
+            vs = [jnp.where(good, plane(_ATTR0 + 3 * ch), 0.0)
+                  for ch in range(binning.N_ATTRS)]
+            sh = sub // 2
+            while sh >= 1:
+                same = seg == pltpu.roll(seg, sh, axis=2)
+                rz = pltpu.roll(zc, sh, axis=2)
+                take = same & (rz <= zc)      # earlier lane wins ties
+                zc = jnp.where(take, rz, zc)
+                vs = [jnp.where(take, pltpu.roll(v, sh, axis=2), v)
+                      for v in vs]
+                sh //= 2
+            # complete at each segment's LAST lane only (forward pass)
+
+            better = zc < zacc[:]                        # (TH, TW, K)
+            for ch in range(binning.N_ATTRS):
+                attracc[ch] = jnp.where(better, vs[ch], attracc[ch])
+            zacc[:] = jnp.where(better, zc, zacc[:])
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+
+        # Extract each stripe's (replicated) per-tile planes and stack the
+        # group's tiles vertically into the packed output block.
+        zfin = zacc[:]
+        has = ~jnp.isinf(zfin)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
+        is_last = (lanes % sub) == (sub - 1)
+
+        def tile_block(s):
+            # z is replicated across its 32 lanes; attribute accumulators
+            # are only valid at each segment's LAST lane (forward-only sums)
+            inseg = seg == s
+            zt = jnp.min(jnp.where(inseg, zfin, jnp.inf), axis=2)
+            zt_out = jnp.where(jnp.isinf(zt), jnp.float32(z_init), zt)
+
+            def attr(ch):
+                v = jnp.max(jnp.where(inseg & has & is_last, attracc[ch],
+                                      -jnp.inf), axis=2)
+                return jnp.where(jnp.isinf(v), 0.0, v)   # uncovered → 0
+
+            planes = [attr(0), attr(1), attr(2), zt_out,
+                      attr(3), attr(4), attr(5), jnp.zeros_like(zt_out)]
+            return jnp.concatenate(planes, axis=1)       # (TH, 8*TW)
+
+        out_ref[:] = jnp.concatenate([tile_block(s) for s in range(group)],
+                                     axis=0)             # (group*TH, 8*TW)
+
+    return kernel
+
+
+def _raster_tiles_grouped(binned, gstarts, gchunks,
+                          slot_cap: int, ntx: int, nty: int,
+                          tile_h: int, tile_w: int, chunk: int, group: int,
+                          z_init: float, interpret: bool):
+    n_groups = ntx * (nty // group)
+    gh = group * tile_h
+    kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((gh, 8 * tile_w),
+                               lambda i, *_: (i // ntx, i % ntx)),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, _ROW), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
+            pltpu.VMEM((binning.N_ATTRS, tile_h, tile_w, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    packed = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            ((nty // group) * gh, ntx * 8 * tile_w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(gstarts, gchunks, binned)
+    s = packed.reshape(nty * tile_h, ntx, 8, tile_w)
+    chans = [s[:, :, c, :].reshape(nty * tile_h, ntx * tile_w)
+             for c in range(7)]
+    return tuple(chans)
+
+
 def _raster_tiles(binned, tile_starts, tile_counts,
                   p_cap: int, ntx: int, nty: int,
                   tile_h: int, tile_w: int, chunk: int,
@@ -241,54 +436,104 @@ def _plane_stage(tris_screen, colors, normals, active,
 
 def _stage_b(rows, tx0, cx, ty0, cy, counts,
              config: RenderConfig, p_cap: int, grid_cap: int,
-             tile_h: int, tile_w: int, chunk: int, interpret: bool):
-    """Bin → Pallas raster; returns ((color, z, normal), n_active)."""
+             tile_h: int, tile_w: int, chunk: int, interpret: bool,
+             group: int = 1):
+    """Bin → Pallas raster.
+
+    Returns ((color, z, normal), n_active, cap_used) where ``cap_used`` is
+    the quantity the static ``p_cap`` must cover (triangle→tile pairs for
+    ``group == 1``, interleaved slots for grouped mode).
+    """
     h, w = config.height, config.width
     ntx = -(-w // tile_w)
     nty = -(-h // tile_h)
     n_tiles = ntx * nty
     del grid_cap  # grid compaction regressed perf; kept for API stability
-    if interpret or n_tiles % 128 != 0 or p_cap % 128 != 0:
+
+    if group > 1:
+        from .binsort_pallas import bin_sort_grouped
+
+        nty_g = -(-nty // group) * group
+        order, gstarts, gchunks, tile_counts, total_slots, n_active = \
+            bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty_g,
+                             slot_cap=p_cap, group=group, sub=chunk // group,
+                             interpret=interpret)
+        rows_padded = jnp.concatenate(
+            [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)])
+        binned = rows_padded[order]
+        binned = jnp.pad(binned, ((0, chunk), (0, 0)))
+        cb, cg, cr, z_img, nx, ny, nz = _raster_tiles_grouped(
+            binned, gstarts, gchunks, p_cap, ntx, nty_g,
+            tile_h, tile_w, chunk, group, config.z_init, interpret)
+        cap_used = total_slots
+    elif interpret or n_tiles % 128 != 0 or p_cap % 128 != 0:
         binned, tile_starts, tile_counts = binning.bin_pairs(
             rows, tx0, cx, ty0, cy, counts, p_cap, ntx, nty, chunk)
         n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
+        cb, cg, cr, z_img, nx, ny, nz = _raster_tiles(
+            binned, tile_starts, tile_counts, p_cap,
+            ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret)
+        cap_used = jnp.sum(counts)
     else:
         binned, tile_starts, tile_counts, n_active = \
             binning.bin_pairs_fast(rows, tx0, cx, ty0, cy, p_cap, ntx, nty,
                                    chunk)
-    cb, cg, cr, z_img, nx, ny, nz = _raster_tiles(
-        binned, tile_starts, tile_counts, p_cap,
-        ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret)
+        cb, cg, cr, z_img, nx, ny, nz = _raster_tiles(
+            binned, tile_starts, tile_counts, p_cap,
+            ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret)
+        cap_used = jnp.sum(counts)
     color = jnp.stack([cb[:h, :w], cg[:h, :w], cr[:h, :w]], axis=-1)
     normal = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
-    return (color, z_img[:h, :w, None], normal), n_active
+    return (color, z_img[:h, :w, None], normal), n_active, cap_used
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret"))
+    "config", "tile_h", "tile_w", "chunk", "group"))
+def grouped_slot_total(tris_screen, active, config: RenderConfig,
+                       tile_h: int = 8, tile_w: int = 128, chunk: int = 128,
+                       group: int = 4):
+    """Slot count a grouped frame needs (device scalar; one sizing sync)."""
+    sub = chunk // group
+    _rows, tx0, cx, ty0, cy, _counts = binning.plane_data(
+        tris_screen, active, config, tile_h, tile_w)
+    ntx = -(-config.width // tile_w)
+    nty = -(-config.height // tile_h)
+    nty_g = -(-nty // group) * group
+    xs = jnp.arange(ntx, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(nty_g, dtype=jnp.int32)[None, :]
+    mx = ((xs >= tx0[:, None]) & (xs < (tx0 + cx)[:, None])).astype(jnp.float32)
+    my = ((ys >= ty0[:, None]) & (ys < (ty0 + cy)[:, None])).astype(jnp.float32)
+    counts2d = jnp.matmul(my.T, mx, precision="highest")
+    gmax = counts2d.reshape(nty_g // group, group, ntx).max(axis=1)
+    gchunks = (gmax.astype(jnp.int32) + (sub - 1)) // sub
+    return 128 * jnp.sum(gchunks)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
+    "group"))
 def render_frame(tri_verts, tri_norms, tri_colors,
                  config: RenderConfig, p_cap: int, grid_cap: int,
                  tile_h: int = 8, tile_w: int = 128, chunk: int = 128,
-                 interpret: bool = False):
+                 interpret: bool = False, group: int = 1):
     """Whole frame as ONE dispatch: geometry → bin → raster.
 
     Per-dispatch overhead matters (over a remote-device tunnel it dominates),
     so the steady-state animation path is exactly one jitted call per frame
-    with cached static capacities. Returns ((color, z, normal), total_pairs,
-    n_active_tiles) — the caller may (lazily) verify ``total_pairs <= p_cap``
-    and ``n_active_tiles <= grid_cap``.
+    with cached static capacities. Returns ((color, z, normal), cap_used,
+    n_active_tiles) — the caller may (lazily) verify ``cap_used <= p_cap``.
     """
     from .projection import project_to_screen, visibility_masks
 
     degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
     active = jnp.logical_and(~degenerate, ~backfacing)
     tris_screen = project_to_screen(tri_verts, config)
-    rows, tx0, cx, ty0, cy, counts, total = _plane_stage(
+    rows, tx0, cx, ty0, cy, counts, _total = _plane_stage(
         tris_screen, tri_colors, tri_norms, active, config, tile_h, tile_w)
-    out, n_active = _stage_b(rows, tx0, cx, ty0, cy, counts,
-                             config, p_cap, grid_cap, tile_h, tile_w, chunk,
-                             interpret)
-    return out, total, n_active
+    out, n_active, cap_used = _stage_b(
+        rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
+        tile_h, tile_w, chunk, interpret, group)
+    return out, cap_used, n_active
 
 
 def rasterize(tris_screen: jnp.ndarray,
@@ -312,7 +557,7 @@ def rasterize(tris_screen: jnp.ndarray,
     p_cap = binning.capacity_bucket(int(total), chunk)
     ntx = -(-config.width // tile_w)
     nty = -(-config.height // tile_h)
-    out, _n_active = _stage_b_jit(
+    out, _n_active, _used = _stage_b_jit(
         rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
         grid_cap=ntx * nty, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
         interpret=interpret)
@@ -320,4 +565,5 @@ def rasterize(tris_screen: jnp.ndarray,
 
 
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
-    "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret"))
+    "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
+    "group"))

@@ -128,7 +128,7 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
         ts = project_to_screen(v, config)
         rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
             ts, tri_colors, n, act, config, 8, 128)
-        (color, _z, normal), _na = raster_pallas._stage_b(
+        (color, _z, normal), _na, _used = raster_pallas._stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, ntx * nty,
             8, 128, chunk, interpret)
         dot = jnp.sum(normal * light, axis=-1, keepdims=True)

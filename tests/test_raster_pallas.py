@@ -84,3 +84,39 @@ def test_capacity_overflow_retry():
     small = binning.capacity_bucket(10, 128)
     big = binning.capacity_bucket(100000, 128)
     assert small < big and small % 4096 == 0 and big >= 100000 + 128
+
+
+def test_grouped_kernel_dense_scene():
+    """The grouped (G4) kernel vs the jnp oracle on a dense scene.
+
+    Regression test for the culled-row stale-slot bug: unplaced bin slots
+    clamp to arbitrary row indices, and a *culled* triangle's row used to
+    carry a live bbox — letting backfacing geometry win pixels. plane_data
+    now zeroes culled rows' bboxes (SAFETY INVARIANT).
+    """
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.ops import binning
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    config = RenderConfig(height=96, width=128, fov=60)
+    tris, colors, normals = random_scene(t=120, seed=1)
+    tv, tn, tc = jnp.asarray(tris), jnp.asarray(normals), jnp.asarray(colors)
+    degenerate, backfacing = visibility_masks(tv, tn)
+    active = ~degenerate & ~backfacing
+    ts = project_to_screen(tv, config)
+
+    bbox = raster_ref.required_bbox_size(ts, active, config)
+    ref = raster_ref.rasterize(ts, tc, tn, active, config,
+                               bbox_size=bbox, chunk=16)
+
+    rows, tx0, cx, ty0, cy, counts, _t = rp._stage_a(ts, tc, tn, active,
+                                                     config, 8, 128)
+    slots = int(rp.grouped_slot_total(ts, active, config, group=4))
+    p_cap = binning.capacity_bucket(slots, 128)
+    pal, _na, used = rp._stage_b_jit(rows, tx0, cx, ty0, cy, counts,
+                                     config=config, p_cap=p_cap, grid_cap=0,
+                                     tile_h=8, tile_w=128, chunk=128,
+                                     interpret=True, group=4)
+    assert int(used) <= p_cap
+    assert_match(ref, pal)

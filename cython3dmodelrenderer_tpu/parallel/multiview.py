@@ -100,13 +100,15 @@ def render_turntable(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     return jax.vmap(one)(angles)
 
 
-@partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret"))
+@partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
+                                   "group"))
 def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             tri_colors: jnp.ndarray, angles: jnp.ndarray,
                             config: RenderConfig, p_cap: int,
                             post_shift=(0.0, 0.0, 1.0), chunk: int = 128,
                             light_direction=(0.0, 0.0, 1.0),
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            group: int = 4) -> jnp.ndarray:
     """Multi-view render through the Pallas rasterizer (one chip).
 
     Views run sequentially via ``lax.map`` — each view saturates the chip, so
@@ -130,7 +132,7 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
             ts, tri_colors, n, act, config, 8, 128)
         (color, _z, normal), _na, _used = raster_pallas._stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, ntx * nty,
-            8, 128, chunk, interpret)
+            8, 128, chunk, interpret, group)
         dot = jnp.sum(normal * light, axis=-1, keepdims=True)
         nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
         shadow = jnp.clip(dot / (nn + 1e-6), 0.0, 1.0)
@@ -141,10 +143,10 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
 
 def turntable_capacity(tri_verts, tri_norms, config: RenderConfig,
                        n_samples: int = 8, headroom: float = 1.5,
-                       post_shift=(0.0, 0.0, 1.0)) -> int:
+                       post_shift=(0.0, 0.0, 1.0), group: int = 4) -> int:
     """Static bin capacity covering a full turntable sweep (one host sync).
 
-    Samples pair counts at ``n_samples`` angles and applies ``headroom``.
+    Samples bin-slot demand at ``n_samples`` angles, applies ``headroom``.
     """
     from ..ops import binning, raster_pallas
 
@@ -157,8 +159,8 @@ def turntable_capacity(tri_verts, tri_norms, config: RenderConfig,
             degenerate, backfacing = visibility_masks(v, n)
             act = jnp.logical_and(~degenerate, ~backfacing)
             ts = project_to_screen(v, config)
-            _, _, cx, _, cy, _ = binning.plane_data(ts, act, config, 8, 128)
-            return jnp.sum(cx * cy)
+            return raster_pallas.grouped_slot_total(ts, act, config,
+                                                    group=group)
 
         return jnp.max(jax.lax.map(one, ang))
 

@@ -24,11 +24,28 @@ import jax.numpy as jnp
 import numpy as np
 from tqdm import tqdm
 
+import jax
+
 from .fillers import AdvancedPixelBufferFiller, EdgeOnlyPixelBufferFiller, \
     PixelBufferFiller
 from .models.buffer import Buffer
 from .models.model import Model
-from .ops.illumination import IlluminationDrawer
+from .ops.illumination import GuroIllumination, IlluminationDrawer
+
+
+@jax.jit
+def _lambert_to_u8(color, normal, light):
+    dot = jnp.sum(normal * light, axis=-1, keepdims=True)
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    shadow = jnp.clip(dot / (norm + 1e-6), 0.0, 1.0)
+    return (color * shadow).astype(jnp.uint8)
+
+
+@jax.jit
+def _cast_u8(color):
+    return color.astype(jnp.uint8)
+
+
 
 
 class Renderer:
@@ -105,9 +122,20 @@ class Renderer:
         filler = self.pixel_buffer_filler
         filler.render_model(model, order=self._order(model),
                             colors_override=colors_override)
-        shaded = self.illumination.apply(filler.get_color_buffer(),
-                                         filler.get_normals_buffer())
-        self.color_buffer.array = shaded          # float → uint8 cast on store
+        # Shade + uint8-quantize in one fused dispatch (per-dispatch cost
+        # dominates small post-passes on remote-tunneled devices).
+        from .ops.illumination import NoIllumination
+
+        if isinstance(self.illumination, GuroIllumination):
+            shaded_u8 = _lambert_to_u8(filler.get_color_buffer(),
+                                       filler.get_normals_buffer(),
+                                       self.illumination.light_direction)
+        elif isinstance(self.illumination, NoIllumination):
+            shaded_u8 = _cast_u8(filler.get_color_buffer())
+        else:  # custom drawers: generic two-dispatch path
+            shaded_u8 = _cast_u8(self.illumination.apply(
+                filler.get_color_buffer(), filler.get_normals_buffer()))
+        self.color_buffer.array = shaded_u8
         self.z_buffer.array = filler.get_z_buffer()
         self.n_buffer.array = filler.get_normals_buffer()
 

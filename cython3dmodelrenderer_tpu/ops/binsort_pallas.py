@@ -105,36 +105,42 @@ def _make_group_kernel(t: int, n_tiles: int, ntx: int, group: int, sub: int,
 
         # Placement into group-interleaved slots: group g's chunk j holds
         # [tile0 ranks 32j.., tile1, tile2, tile3] as 32-lane stripes.
+        def emit(ty, tx, tri):
+            tile = ty * ntx + tx
+            r = cursors[tile]
+            pos = (gstarts_ref[(ty // group) * ntx + tx]
+                   + (r // sub) * (group * sub)
+                   + (ty % group) * sub + (r % sub))
+
+            @pl.when(pos < slot_cap)
+            def _():
+                order_ref[pos // 128, pos % 128] = tri
+
+            cursors[tile] = r + 1
+
         def place(tri, _):
             cxv = cx_ref[tri]
             cyv = cy_ref[tri]
             base_ty = ty0_ref[tri]
             base_tx = tx0_ref[tri]
 
-            def over_y(dy, _):
-                ty = base_ty + dy
-                g_row = (ty // group) * ntx
-                s = ty % group
+            @pl.when(cxv * cyv == 1)
+            def _():          # fast path: ~85% of triangles are single-tile
+                emit(base_ty, base_tx, tri)
 
-                def over_x(dx, _):
-                    tx = base_tx + dx
-                    tile = ty * ntx + tx
-                    r = cursors[tile]
-                    pos = (gstarts_ref[g_row + tx]
-                           + (r // sub) * (group * sub)
-                           + s * sub + (r % sub))
+            @pl.when((cxv * cyv != 1) & (cxv * cyv > 0))
+            def _():
 
-                    @pl.when(pos < slot_cap)
-                    def _():
-                        order_ref[pos // 128, pos % 128] = tri
+                def over_y(dy, _):
+                    def over_x(dx, _):
+                        emit(base_ty + dy, base_tx + dx, tri)
+                        return 0
 
-                    cursors[tile] = r + 1
+                    jax.lax.fori_loop(0, cxv, over_x, 0)
                     return 0
 
-                jax.lax.fori_loop(0, cxv, over_x, 0)
-                return 0
+                jax.lax.fori_loop(0, cyv, over_y, 0)
 
-            jax.lax.fori_loop(0, cyv, over_y, 0)
             return 0
 
         jax.lax.fori_loop(0, t, place, 0)

@@ -234,6 +234,13 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
 
         zacc[:] = jnp.full((tile_h, tile_w, chunk), jnp.inf, jnp.float32)
 
+        # hoist the segmented-argmin shuffle masks out of the chunk loop
+        shifts = []
+        sh = sub // 2
+        while sh >= 1:
+            shifts.append((sh, seg == pltpu.roll(seg, sh, axis=2)))
+            sh //= 2
+
         c0 = start // chunk
 
         def get_dma(c):
@@ -287,15 +294,12 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             # segments keep zc == inf and the epilogue masks them out.
             vs = [jnp.where(good, plane(_ATTR0 + 3 * ch), 0.0)
                   for ch in range(binning.N_ATTRS)]
-            sh = sub // 2
-            while sh >= 1:
-                same = seg == pltpu.roll(seg, sh, axis=2)
+            for sh, same in shifts:
                 rz = pltpu.roll(zc, sh, axis=2)
                 take = same & (rz <= zc)      # earlier lane wins ties
                 zc = jnp.where(take, rz, zc)
                 vs = [jnp.where(take, pltpu.roll(v, sh, axis=2), v)
                       for v in vs]
-                sh //= 2
             # complete at each segment's LAST lane only (forward pass)
 
             better = zc < zacc[:]                        # (TH, TW, K)

@@ -120,3 +120,33 @@ def test_grouped_kernel_dense_scene():
                                      interpret=True, group=4)
     assert int(used) <= p_cap
     assert_match(ref, pal)
+
+
+def test_odd_image_sizes_grouped():
+    """Non-tile-aligned image sizes through the grouped kernel (interpret)."""
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.ops import binning
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    for h, w in [(100, 100), (72, 200), (48, 130)]:
+        config = RenderConfig(height=h, width=w, fov=60)
+        tris, colors, normals = random_scene(t=30, seed=2)
+        tv, tn, tc = (jnp.asarray(tris), jnp.asarray(normals),
+                      jnp.asarray(colors))
+        degenerate, backfacing = visibility_masks(tv, tn)
+        active = ~degenerate & ~backfacing
+        ts = project_to_screen(tv, config)
+        bbox = raster_ref.required_bbox_size(ts, active, config)
+        ref = raster_ref.rasterize(ts, tc, tn, active, config,
+                                   bbox_size=bbox, chunk=16)
+        rows, tx0, cx, ty0, cy, counts, _t = rp._stage_a(
+            ts, tc, tn, active, config, 8, 128)
+        slots = int(rp.grouped_slot_total(ts, active, config, group=4))
+        p_cap = binning.capacity_bucket(slots, 128)
+        pal, _na, _used = rp._stage_b_jit(rows, tx0, cx, ty0, cy, counts,
+                                          config=config, p_cap=p_cap,
+                                          grid_cap=0, tile_h=8, tile_w=128,
+                                          chunk=128, interpret=True, group=4)
+        assert pal[0].shape == (h, w, 3)
+        assert_match(ref, pal)

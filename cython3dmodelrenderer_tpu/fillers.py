@@ -124,6 +124,11 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._color, self._z, self._normals = color, z, normals
 
     def _rasterize(self, tri_verts, tri_norms, tri_colors):
+        if tri_verts.shape[0] == 0:   # empty scene → background
+            h, w = self.get_size()
+            return (jnp.zeros((h, w, 3), jnp.float32),
+                    jnp.full((h, w, 1), self.config.z_init, jnp.float32),
+                    jnp.zeros((h, w, 3), jnp.float32))
         backend = self._resolve_backend()
         if backend == "pallas":
             from .ops import binning, raster_pallas

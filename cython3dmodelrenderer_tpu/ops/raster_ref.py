@@ -100,8 +100,8 @@ def rasterize(tris_screen: jnp.ndarray,
     t = tris_screen.shape[0]
     b = bbox_size
 
-    # Pad T to a multiple of chunk with inactive triangles.
-    t_pad = -(-t // chunk) * chunk
+    # Pad T to a (nonzero) multiple of chunk with inactive triangles.
+    t_pad = -(-max(t, 1) // chunk) * chunk
     pad = t_pad - t
     if pad:
         tris_screen = jnp.pad(tris_screen, ((0, pad), (0, 0), (0, 0)))
@@ -160,9 +160,9 @@ def rasterize(tris_screen: jnp.ndarray,
     # Seed the carry from a (possibly device-varying) input so the scan is
     # legal inside shard_map: the carry must have the same varying-axes type
     # as the body output. `active` is bool — never NaN — so this is a no-op
-    # numerically.
-    vary_f = jnp.float32(0) * active[0].astype(jnp.float32)
-    vary_i = jnp.int32(0) * active[0].astype(jnp.int32)
+    # numerically (sum, not [0]: must also work for empty triangle lists).
+    vary_f = jnp.float32(0) * jnp.sum(active.astype(jnp.float32))
+    vary_i = jnp.int32(0) * jnp.sum(active.astype(jnp.int32))
     zbuf0 = jnp.full(hw, jnp.inf, jnp.float32) + vary_f
     pbuf0 = jnp.full(hw, _INT_MAX, jnp.int32) + vary_i
     (zbuf, pbuf), _ = jax.lax.scan(scan_body, (zbuf0, pbuf0),
@@ -174,6 +174,10 @@ def rasterize(tris_screen: jnp.ndarray,
 def _resolve(tris_screen, colors, normals, zbuf, pbuf, config: RenderConfig):
     """Phase 2: gather each pixel's winning triangle, interpolate attributes."""
     h, w = config.height, config.width
+    if colors.shape[0] == 0:   # empty scene → background everywhere
+        return (jnp.zeros((h, w, 3), jnp.float32),
+                jnp.full((h, w, 1), config.z_init, jnp.float32),
+                jnp.zeros((h, w, 3), jnp.float32))
     has = pbuf != _INT_MAX
     win = jnp.where(has, pbuf, 0)
 
@@ -204,6 +208,8 @@ def required_bbox_size(tris_screen: jnp.ndarray, active: jnp.ndarray,
     Host-sync helper: call outside jit, round up to multiples of ``bucket`` so
     recompiles are rare across frames.
     """
+    if tris_screen.shape[0] == 0:
+        return bucket
     xl, xr, yl, yr = bbox_ceil(tris_screen[..., :2], config.width, config.height)
     wmax = jnp.max(jnp.where(active, xr - xl, 0))
     hmax = jnp.max(jnp.where(active, yr - yl, 0))

@@ -172,6 +172,9 @@ def vertex_normals(vertices: jnp.ndarray, faces_v: jnp.ndarray,
     self-dot is within 1e-7 of 1) and normals closer than ~1e-6 in dot —
     visually indistinguishable — dedup too.
     """
+    if faces_v.shape[0] == 0:  # no faces → all-zero normals (reference
+        return jnp.zeros_like(vertices)  # model.py:186-187 empty-mean case)
+
     tri_verts = vertices[faces_v]                      # (T, 3, 3)
     fn = face_normals(tri_verts, normalize=True)       # (T, 3)
 

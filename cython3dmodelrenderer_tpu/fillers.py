@@ -71,7 +71,6 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         # Cached static pair-capacity bucket for the Pallas binner: lets
         # steady-state frames run with zero host syncs (overflow → retry).
         self._p_cap: Optional[int] = None
-        self._grid_cap: Optional[int] = None
         self._last_total = None
         self._last_active = None
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
@@ -184,17 +183,11 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
         if self._p_cap is None or self._last_total is None:
             return True
-        ok = True
         t = int(self._last_total)
-        if t > self._p_cap:
-            self._p_cap = binning.capacity_bucket(2 * t, 128)
-            ok = False
-        if self._grid_cap is not None and self._last_active is not None:
-            a = int(self._last_active)
-            if a > self._grid_cap:
-                self._grid_cap = -(-2 * a // 128) * 128
-                ok = False
-        return ok
+        if t <= self._p_cap:
+            return True
+        self._p_cap = binning.capacity_bucket(2 * t, 128)
+        return False
 
     # buffer getters, cy-reference naming (pyx:246-253)
     def get_color_buffer(self) -> jnp.ndarray:

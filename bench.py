@@ -35,17 +35,21 @@ def _posed(name, pose=True):
     return model
 
 
-def _time_frames(fn, n_warm=3, n_iter=20):
+def _time_frames(fn, n_warm=3, n_iter=20, n_trials=3):
+    """Best-of-N trials: the tunneled device's throughput is noisy."""
     import jax
 
     for _ in range(n_warm):
         out = fn()
         jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iter * 1e3
+    best = float("inf")
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fn()
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n_iter * 1e3)
+    return best
 
 
 def _bench_single(model, size, fov, illum, metric, vs_baseline=None):

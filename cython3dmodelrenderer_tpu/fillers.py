@@ -71,6 +71,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         # Cached static pair-capacity bucket for the Pallas binner: lets
         # steady-state frames run with zero host syncs (overflow → retry).
         self._p_cap: Optional[int] = None
+        self._sized_for: Optional[int] = None
         self._last_total = None
         self._last_active = None
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
@@ -134,6 +135,9 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
             ntx = -(-self.config.width // 128)
             nty = -(-self.config.height // 8)
+            # a different model invalidates the cached capacity bucket
+            if self._p_cap is not None and self._sized_for != tri_verts.shape[0]:
+                self._p_cap = None
             if self._p_cap is None:
                 # One-time sizing sync: learn the scene's bin-slot demand,
                 # cache a bucket with 25% headroom (binning cost scales with
@@ -145,6 +149,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
                 total = raster_pallas.grouped_slot_total(
                     tris_screen, active, self.config, group=self._group)
                 self._p_cap = binning.capacity_bucket(int(total) * 5 // 4, 128)
+                self._sized_for = tri_verts.shape[0]
             out, self._last_total, self._last_active = \
                 raster_pallas.render_frame(
                     tri_verts, tri_norms, tri_colors, self.config,

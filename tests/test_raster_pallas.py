@@ -150,3 +150,18 @@ def test_odd_image_sizes_grouped():
                                           chunk=128, interpret=True, group=4)
         assert pal[0].shape == (h, w, 3)
         assert_match(ref, pal)
+
+
+def test_filler_capacity_resizes_on_model_change():
+    """Switching scenes must re-size the cached capacity bucket."""
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+
+    filler = AdvancedPixelBufferFiller(64, 64, fov=60, backend="jnp")
+    small = random_scene(t=8, seed=0)
+    big = random_scene(t=200, seed=1)
+    for tris, colors, normals in (small, big, small):
+        out = filler._rasterize(jnp.asarray(tris), jnp.asarray(normals),
+                                jnp.asarray(colors))
+        assert np.asarray(out[0]).shape == (64, 64, 3)

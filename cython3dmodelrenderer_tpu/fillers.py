@@ -61,10 +61,12 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
     def __init__(self, h: int, w: int, fov: float = 90.0, z_near: float = 0.1,
                  z_far: float = 1000.0, n_threads: Optional[int] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", interpret: bool = False):
         del n_threads  # reference-API compat; TPU picks its own parallelism
         self.config = RenderConfig(height=h, width=w, fov=fov, z_near=z_near,
                                    z_far=z_far, backend=backend)
+        #: run Pallas kernels in interpreter mode (testing on CPU)
+        self._interpret = interpret
         self._color = jnp.zeros((h, w, 3), jnp.float32)
         self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)
         self._normals = jnp.zeros((h, w, 3), jnp.float32)
@@ -74,6 +76,9 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._sized_for: Optional[int] = None
         self._last_total = None
         self._last_active = None
+        self._frames_since_check = 0
+        #: frames between automatic capacity validations (host sync each)
+        self._VALIDATE_EVERY = 64
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
         self._group: int = 4
 
@@ -135,7 +140,17 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
             ntx = -(-self.config.width // 128)
             nty = -(-self.config.height // 8)
-            # a different model invalidates the cached capacity bucket
+            # a different model invalidates the cached capacity bucket; for
+            # same-model pose changes (same count, growing screen coverage)
+            # re-validate periodically — the check syncs on an already-
+            # finished frame's counter, so the steady-state pipeline only
+            # pays a host round-trip every _VALIDATE_EVERY frames. Bin reads
+            # are hard-clamped to capacity either way (binsort_pallas), so a
+            # stale bucket can only drop geometry, never corrupt memory.
+            self._frames_since_check += 1
+            if self._frames_since_check >= self._VALIDATE_EVERY:
+                self._frames_since_check = 0
+                self.validate_capacity()
             if self._p_cap is not None and self._sized_for != tri_verts.shape[0]:
                 self._p_cap = None
             if self._p_cap is None:
@@ -153,7 +168,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             out, self._last_total, self._last_active = \
                 raster_pallas.render_frame(
                     tri_verts, tri_norms, tri_colors, self.config,
-                    self._p_cap, ntx * nty, group=self._group)
+                    self._p_cap, ntx * nty, group=self._group,
+                    interpret=self._interpret)
             return out
         tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
         bbox = raster_ref.required_bbox_size(tris_screen, active, self.config)

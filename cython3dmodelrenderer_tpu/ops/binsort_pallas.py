@@ -88,8 +88,7 @@ def _make_kernel(t: int, n_tiles: int, ntx: int, p_cap: int):
     return kernel
 
 
-def _make_group_kernel(t: int, n_tiles: int, ntx: int, group: int, sub: int,
-                       slot_cap: int):
+def _make_group_kernel(t: int, n_tiles: int, ntx: int, group: int, sub: int):
     def kernel(tx0_ref, cx_ref, ty0_ref, cy_ref, gstarts_ref,
                order_ref, cursors):
         def init(i, _):
@@ -107,12 +106,14 @@ def _make_group_kernel(t: int, n_tiles: int, ntx: int, group: int, sub: int,
         # [tile0 ranks 32j.., tile1, tile2, tile3] as 32-lane stripes.
         def emit(ty, tx, tri):
             tile = ty * ntx + tx
+            g = (ty // group) * ntx + tx
             r = cursors[tile]
-            pos = (gstarts_ref[(ty // group) * ntx + tx]
-                   + (r // sub) * (group * sub)
+            pos = (gstarts_ref[g] + (r // sub) * (group * sub)
                    + (ty % group) * sub + (r % sub))
 
-            @pl.when(pos < slot_cap)
+            # bound by the group's own (capacity-clamped) allocation so an
+            # overflowing group can never stomp its neighbor's slots
+            @pl.when(pos < gstarts_ref[g + 1])
             def _():
                 order_ref[pos // 128, pos % 128] = tri
 
@@ -148,6 +149,27 @@ def _make_group_kernel(t: int, n_tiles: int, ntx: int, group: int, sub: int,
     return kernel
 
 
+def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
+                    group: int, sub: int):
+    """Per-tile counts and per-group chunk demand, shared by sizing and
+    placement (these MUST agree — capacity bucketing uses one caller, bin
+    placement the other).
+
+    Tile counts come from a separable membership matmul on the MXU (exact in
+    f32 for < 2^24); a group's chunk count is ``ceil(max over its tiles /
+    sub)``. Returns (tile_counts (n_tiles,) i32, gchunks (n_groups,) i32).
+    """
+    xs = jnp.arange(ntx, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(nty, dtype=jnp.int32)[None, :]
+    mx = ((xs >= tx0[:, None]) & (xs < (tx0 + cx)[:, None])).astype(jnp.float32)
+    my = ((ys >= ty0[:, None]) & (ys < (ty0 + cy)[:, None])).astype(jnp.float32)
+    counts2d = jnp.matmul(my.T, mx, precision="highest")     # (nty, ntx)
+    tile_counts = counts2d.reshape(-1).astype(jnp.int32)
+    gmax = counts2d.reshape(nty // group, group, ntx).max(axis=1)
+    gchunks = ((gmax.astype(jnp.int32) + (sub - 1)) // sub).reshape(-1)
+    return tile_counts, gchunks
+
+
 @functools.partial(jax.jit, static_argnames=("ntx", "nty", "slot_cap",
                                              "group", "sub", "interpret"))
 def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
@@ -169,23 +191,25 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
     n_groups = ntx * (nty // group)
     assert slot_cap % 128 == 0
 
-    # Histogram on the MXU (same trick as bin_sort).
-    xs = jnp.arange(ntx, dtype=jnp.int32)[None, :]
-    ys = jnp.arange(nty, dtype=jnp.int32)[None, :]
-    mx = ((xs >= tx0[:, None]) & (xs < (tx0 + cx)[:, None])).astype(jnp.float32)
-    my = ((ys >= ty0[:, None]) & (ys < (ty0 + cy)[:, None])).astype(jnp.float32)
-    counts2d = jnp.matmul(my.T, mx, precision="highest")     # (nty, ntx)
-    tile_counts = counts2d.reshape(-1).astype(jnp.int32)
-    gmax = counts2d.reshape(nty // group, group, ntx).max(axis=1)
-    gchunks = ((gmax.astype(jnp.int32) + (sub - 1)) // sub).reshape(-1)
+    tile_counts, gchunks = group_histogram(tx0, cx, ty0, cy, ntx, nty,
+                                           group, sub)
     csum = jnp.cumsum(gchunks)
     total_slots = 128 * csum[-1]
-    # length n_groups + 1: the extra tail entry (= total slots) lets the
-    # raster kernel read the global chunk count for cross-group prefetch
-    gstarts = 128 * jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                     csum.astype(jnp.int32)])
+    # CLAMP the chunk layout to the static capacity: on overflow, trailing
+    # groups lose chunks (missing geometry — detectable via total_slots >
+    # slot_cap) but the raster kernel's DMA reads stay in bounds.
+    allowed = slot_cap // 128
+    cum_c = jnp.minimum(csum.astype(jnp.int32), allowed)
+    start_c = jnp.minimum(
+        jnp.concatenate([jnp.zeros(1, jnp.int32),
+                         csum[:-1].astype(jnp.int32)]), allowed)
+    gchunks = cum_c - start_c
+    # length n_groups + 1: the extra tail entry (= total clamped chunks)
+    # lets the raster kernel read the global chunk count for cross-group
+    # prefetch
+    gstarts = 128 * jnp.concatenate([start_c, cum_c[-1:]])
 
-    kernel = _make_group_kernel(t, n_tiles, ntx, group, sub, slot_cap)
+    kernel = _make_group_kernel(t, n_tiles, ntx, group, sub)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(1,),

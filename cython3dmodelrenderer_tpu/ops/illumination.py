@@ -16,13 +16,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def _lambert(color: jnp.ndarray, n_buffer: jnp.ndarray,
-             light: jnp.ndarray) -> jnp.ndarray:
+def lambert_shade(color: jnp.ndarray, n_buffer: jnp.ndarray,
+                  light: jnp.ndarray) -> jnp.ndarray:
+    """The Lambert shading formula (reference guro_illumination.py:20-27).
+
+    ``light`` is the pre-negated, normalized light direction. The single
+    definition shared by every shading path (IlluminationDrawer.apply, the
+    Renderer's fused shade+quantize dispatch, the multiview sweep).
+    """
     dot = jnp.sum(n_buffer * light, axis=-1, keepdims=True)
     norm = jnp.linalg.norm(n_buffer, axis=-1, keepdims=True)
     shadow = jnp.clip(dot / (norm + 1e-6), 0.0, 1.0)
     return color * shadow
+
+
+_lambert = jax.jit(lambert_shade)
 
 
 class IlluminationDrawer:

@@ -470,18 +470,15 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             binned, gstarts, gchunks, p_cap, ntx, nty_g,
             tile_h, tile_w, chunk, group, config.z_init, interpret)
         cap_used = total_slots
-    elif interpret or n_tiles % 128 != 0 or p_cap % 128 != 0:
-        binned, tile_starts, tile_counts = binning.bin_pairs(
-            rows, tx0, cx, ty0, cy, counts, p_cap, ntx, nty, chunk)
-        n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
-        cb, cg, cr, z_img, nx, ny, nz = _raster_tiles(
-            binned, tile_starts, tile_counts, p_cap,
-            ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret)
-        cap_used = jnp.sum(counts)
     else:
-        binned, tile_starts, tile_counts, n_active = \
-            binning.bin_pairs_fast(rows, tx0, cx, ty0, cy, p_cap, ntx, nty,
-                                   chunk)
+        if interpret or n_tiles % 128 != 0 or p_cap % 128 != 0:
+            binned, tile_starts, tile_counts = binning.bin_pairs(
+                rows, tx0, cx, ty0, cy, counts, p_cap, ntx, nty, chunk)
+            n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
+        else:
+            binned, tile_starts, tile_counts, n_active = \
+                binning.bin_pairs_fast(rows, tx0, cx, ty0, cy, p_cap,
+                                       ntx, nty, chunk)
         cb, cg, cr, z_img, nx, ny, nz = _raster_tiles(
             binned, tile_starts, tile_counts, p_cap,
             ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret)
@@ -497,19 +494,16 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
                        tile_h: int = 8, tile_w: int = 128, chunk: int = 128,
                        group: int = 4):
     """Slot count a grouped frame needs (device scalar; one sizing sync)."""
+    from .binsort_pallas import group_histogram
+
     sub = chunk // group
     _rows, tx0, cx, ty0, cy, _counts = binning.plane_data(
         tris_screen, active, config, tile_h, tile_w)
     ntx = -(-config.width // tile_w)
     nty = -(-config.height // tile_h)
     nty_g = -(-nty // group) * group
-    xs = jnp.arange(ntx, dtype=jnp.int32)[None, :]
-    ys = jnp.arange(nty_g, dtype=jnp.int32)[None, :]
-    mx = ((xs >= tx0[:, None]) & (xs < (tx0 + cx)[:, None])).astype(jnp.float32)
-    my = ((ys >= ty0[:, None]) & (ys < (ty0 + cy)[:, None])).astype(jnp.float32)
-    counts2d = jnp.matmul(my.T, mx, precision="highest")
-    gmax = counts2d.reshape(nty_g // group, group, ntx).max(axis=1)
-    gchunks = (gmax.astype(jnp.int32) + (sub - 1)) // sub
+    _tile_counts, gchunks = group_histogram(tx0, cx, ty0, cy, ntx, nty_g,
+                                            group, sub)
     return 128 * jnp.sum(gchunks)
 
 
@@ -529,6 +523,10 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     """
     from .projection import project_to_screen, visibility_masks
 
+    if tri_verts.shape[0] == 0:   # empty scene → background
+        zero = jnp.zeros((), jnp.int32)
+        return _background(config), zero, zero
+
     degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
     active = jnp.logical_and(~degenerate, ~backfacing)
     tris_screen = project_to_screen(tri_verts, config)
@@ -538,6 +536,13 @@ def render_frame(tri_verts, tri_norms, tri_colors,
         rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
         tile_h, tile_w, chunk, interpret, group)
     return out, cap_used, n_active
+
+
+def _background(config: RenderConfig):
+    h, w = config.height, config.width
+    return (jnp.zeros((h, w, 3), jnp.float32),
+            jnp.full((h, w, 1), config.z_init, jnp.float32),
+            jnp.zeros((h, w, 3), jnp.float32))
 
 
 def rasterize(tris_screen: jnp.ndarray,
@@ -556,6 +561,9 @@ def rasterize(tris_screen: jnp.ndarray,
     reference's ratio form). Performs one host sync to size the bins; use
     ``render_frame`` with a cached ``p_cap`` for sync-free animation.
     """
+    if tris_screen.shape[0] == 0:   # empty scene → background
+        return _background(config)
+
     rows, tx0, cx, ty0, cy, counts, total = _stage_a(
         tris_screen, colors, normals, active, config, tile_h, tile_w)
     p_cap = binning.capacity_bucket(int(total), chunk)

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..ops import raster_ref
+from ..ops.illumination import lambert_shade
 from ..ops.projection import project_to_screen, visibility_masks
 from ..ops.transforms import rotation_matrix
 
@@ -50,10 +51,7 @@ def render_view(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                                             chunk=chunk)
     light = -jnp.asarray(light_direction, jnp.float32)
     light = light / jnp.linalg.norm(light)
-    dot = jnp.sum(normal * light, axis=-1, keepdims=True)
-    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    shadow = jnp.clip(dot / (nn + 1e-6), 0.0, 1.0)
-    return color * shadow, z, normal
+    return lambert_shade(color, light=light, n_buffer=normal), z, normal
 
 
 def turntable_angles(n_views: int) -> jnp.ndarray:
@@ -133,10 +131,7 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
         (color, _z, normal), _na, _used = raster_pallas._stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, ntx * nty,
             8, 128, chunk, interpret, group)
-        dot = jnp.sum(normal * light, axis=-1, keepdims=True)
-        nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-        shadow = jnp.clip(dot / (nn + 1e-6), 0.0, 1.0)
-        return color * shadow
+        return lambert_shade(color, light=light, n_buffer=normal)
 
     return jax.lax.map(one, angles)
 

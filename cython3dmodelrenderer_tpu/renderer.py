@@ -30,15 +30,13 @@ from .fillers import AdvancedPixelBufferFiller, EdgeOnlyPixelBufferFiller, \
     PixelBufferFiller
 from .models.buffer import Buffer
 from .models.model import Model
-from .ops.illumination import GuroIllumination, IlluminationDrawer
+from .ops.illumination import (GuroIllumination, IlluminationDrawer,
+                               lambert_shade)
 
 
 @jax.jit
 def _lambert_to_u8(color, normal, light):
-    dot = jnp.sum(normal * light, axis=-1, keepdims=True)
-    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    shadow = jnp.clip(dot / (norm + 1e-6), 0.0, 1.0)
-    return (color * shadow).astype(jnp.uint8)
+    return lambert_shade(color, normal, light).astype(jnp.uint8)
 
 
 @jax.jit
@@ -126,11 +124,13 @@ class Renderer:
         # dominates small post-passes on remote-tunneled devices).
         from .ops.illumination import NoIllumination
 
-        if isinstance(self.illumination, GuroIllumination):
+        # exact-type checks: subclasses with overridden apply() must go
+        # through the generic path, not the fused builtin formulas
+        if type(self.illumination) is GuroIllumination:
             shaded_u8 = _lambert_to_u8(filler.get_color_buffer(),
                                        filler.get_normals_buffer(),
                                        self.illumination.light_direction)
-        elif isinstance(self.illumination, NoIllumination):
+        elif type(self.illumination) is NoIllumination:
             shaded_u8 = _cast_u8(filler.get_color_buffer())
         else:  # custom drawers: generic two-dispatch path
             shaded_u8 = _cast_u8(self.illumination.apply(

@@ -153,15 +153,26 @@ def test_odd_image_sizes_grouped():
 
 
 def test_filler_capacity_resizes_on_model_change():
-    """Switching scenes must re-size the cached capacity bucket."""
+    """Switching scenes must re-size the cached capacity bucket.
+
+    Uses the Pallas backend in interpreter mode so the capacity-cache code
+    path (pallas branch of _rasterize) actually executes on CPU.
+    """
     import jax.numpy as jnp
 
     from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
 
-    filler = AdvancedPixelBufferFiller(64, 64, fov=60, backend="jnp")
+    filler = AdvancedPixelBufferFiller(64, 64, fov=60, backend="pallas",
+                                       interpret=True)
     small = random_scene(t=8, seed=0)
     big = random_scene(t=200, seed=1)
+    caps = []
     for tris, colors, normals in (small, big, small):
         out = filler._rasterize(jnp.asarray(tris), jnp.asarray(normals),
                                 jnp.asarray(colors))
         assert np.asarray(out[0]).shape == (64, 64, 3)
+        assert int(filler._last_total) <= filler._p_cap
+        caps.append(filler._p_cap)
+    # the bucket was re-sized for the bigger scene
+    assert caps[1] >= caps[0]
+    assert filler._sized_for == small[0].shape[0]

@@ -14,16 +14,22 @@ with per-pixel locks (``crender/cy/.../advanced_pixel_buffer_filler.pyx:
   normal) are affine in (x, y), so a whole tile evaluates a chunk of K
   triangles with a handful of fused multiply-adds — pure VPU work, no
   gathers, no scalar loops;
-* depth resolve is a running lexicographic (z, priority) minimum in VMEM
-  scratch: strict-< beats, ties keep the lowest priority (= sequential
-  first-writer semantics of the reference py filler). The chunk winner's
-  *entire data row* is extracted with a one-hot winner-mask matmul
-  ``(pixels, K) @ (K, 128)`` on the MXU, so at tile end the attribute planes
-  are right there in registers — the G-buffers (color, z, normal) leave the
-  kernel finished, with no post-pass and no XLA gather anywhere;
+* depth resolve is a running lexicographic (z, lane) minimum in VMEM
+  scratch: strict-< beats, ties keep the lowest lane (= sequential
+  first-writer semantics of the reference py filler, since bins are sorted
+  by triangle index). The winner's interpolated attribute values accumulate
+  alongside, so the G-buffers (color, z, normal) leave the kernel finished —
+  no post-pass and no XLA gather anywhere;
+* two kernel variants: one tile per grid step (``_make_kernel``), and the
+  default grouped variant (``_make_kernel_grouped``) packing ``group=4``
+  vertically-stacked tiles into each 128-lane chunk as 32-lane stripes, with
+  a fused segmented tuple-argmin (masked-roll windowed doubling) and
+  cross-group DMA pipelining via a persistent SMEM chunk cursor;
 * triangle data streams HBM→VMEM with double-buffered async DMA;
 * the steady-state frame is ONE jitted dispatch (``render_frame``) with a
-  cached static bin capacity — no per-frame host syncs.
+  cached static bin capacity — no per-frame host syncs (a periodic lazy
+  validation in the filler catches capacity drift; bin reads are hard-
+  clamped to capacity regardless).
 """
 from __future__ import annotations
 
@@ -38,7 +44,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 from . import binning
 
-_INT_MAX = jnp.iinfo(jnp.int32).max
 _ROW = binning.ROW_WIDTH
 _ATTR0 = binning.IDX_ATTRS
 

@@ -176,3 +176,36 @@ def test_filler_capacity_resizes_on_model_change():
     # the bucket was re-sized for the bigger scene
     assert caps[1] >= caps[0]
     assert filler._sized_for == small[0].shape[0]
+
+
+def test_fuzz_parity_many_seeds():
+    """Both kernels (G1 + G4) vs the jnp oracle across random scenes."""
+    from cython3dmodelrenderer_tpu.ops import binning
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    for seed, size in [(11, (64, 128)), (12, (96, 256)), (13, (40, 130))]:
+        h, w = size
+        config = RenderConfig(height=h, width=w, fov=70)
+        tris, colors, normals = random_scene(t=80, seed=seed)
+        tv, tn, tc = (jnp.asarray(tris), jnp.asarray(normals),
+                      jnp.asarray(colors))
+        degenerate, backfacing = visibility_masks(tv, tn)
+        active = ~degenerate & ~backfacing
+        ts = project_to_screen(tv, config)
+        bbox = raster_ref.required_bbox_size(ts, active, config)
+        ref = raster_ref.rasterize(ts, tc, tn, active, config,
+                                   bbox_size=bbox, chunk=16)
+        rows, tx0, cx, ty0, cy, counts, total = rp._stage_a(
+            ts, tc, tn, active, config, 8, 128)
+        for group in (1, 4):
+            if group == 1:
+                p_cap = binning.capacity_bucket(int(total), 128)
+            else:
+                p_cap = binning.capacity_bucket(
+                    int(rp.grouped_slot_total(ts, active, config,
+                                              group=group)), 128)
+            pal, _na, _u = rp._stage_b_jit(
+                rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
+                grid_cap=0, tile_h=8, tile_w=128, chunk=128, interpret=True,
+                group=group)
+            assert_match(ref, pal, edge_tol=1e-3)

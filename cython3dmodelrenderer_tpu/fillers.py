@@ -173,8 +173,14 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             return out
         tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
         bbox = raster_ref.required_bbox_size(tris_screen, active, self.config)
+        # fragment memory scales as chunk x bbox^2 — shrink the chunk for
+        # large-triangle scenes to keep the scan's working set tame (the jnp
+        # backend is the oracle/fallback path; huge-triangle scenes at high
+        # resolution should use the Pallas backend, whose footprint is
+        # bbox-independent)
+        chunk = max(8, min(512, (1 << 20) // (bbox * bbox)))
         return raster_ref.rasterize(tris_screen, tri_colors, tri_norms, active,
-                                    self.config, bbox_size=bbox)
+                                    self.config, bbox_size=bbox, chunk=chunk)
 
     def get_render_stats(self) -> dict:
         """Stats of the last rendered frame (host sync on device scalars).

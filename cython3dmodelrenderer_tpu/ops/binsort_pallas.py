@@ -13,10 +13,12 @@ across the TPU's units:
 
 The pair list is never materialized — the kernel iterates (tx0, cx, ty0, cy)
 spans directly, with a fast path for the ~85% of triangles that cover a
-single tile. Unused capacity slots hold triangle index T; the caller pads
-its row table with a zero row there, so padding fails every bbox test with
-no masking. Scalar stores must target SMEM, and SMEM output windows pad each
-row to 512 bytes — hence the (N/128, 128) output shapes.
+single tile. Unplaced capacity slots are left uninitialized and clamped by
+the caller into valid row indices — safe because plane_data zeroes culled
+rows' bboxes (SAFETY INVARIANT there), so any row that can cover a pixel is
+already in that pixel's bin at an earlier rank. Scalar stores must target
+SMEM, and SMEM output windows pad each row to 512 bytes — hence the
+(N/128, 128) output shapes.
 """
 from __future__ import annotations
 

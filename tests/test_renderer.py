@@ -241,3 +241,58 @@ def test_buffer_save_load(tmp_path):
     # clear() restores the original init value
     restored.clear()
     assert restored.get_image()[0, 0, 0] == 2
+
+
+def test_guro_draw_illumination_buffer_form():
+    """py-reference call form: draw_illumination mutates a uint8 Buffer."""
+    illum = GuroIllumination([0, 0, 1])
+    color = Buffer(4, 4, dim=3, dtype="uint8", init_val=100)
+    nbuf = Buffer(4, 4, dim=3, dtype="float32")
+    nbuf.array = jnp.zeros((4, 4, 3)).at[..., 2].set(-1.0)
+    illum.draw_illumination(color, nbuf)
+    got = color.get_image()
+    assert got.dtype == np.uint8
+    # facing the light → shadow ≈ 1 → colors preserved (±1 quantization)
+    assert np.all(np.abs(got.astype(int) - 100) <= 1)
+
+    # perpendicular normal → black
+    nbuf.array = jnp.zeros((4, 4, 3)).at[..., 0].set(1.0)
+    color2 = Buffer(4, 4, dim=3, dtype="uint8", init_val=100)
+    illum.draw_illumination(color2, nbuf)
+    assert color2.get_image().max() == 0
+
+
+def test_guro_draw_illumination_ndarray_form():
+    """cy-reference call form: raw float arrays, returns shaded array."""
+    illum = GuroIllumination([0, 0, 1])
+    color = np.full((4, 4, 3), 100.0, np.float32)
+    nbuf = np.zeros((4, 4, 3), np.float32)
+    nbuf[..., 2] = -1.0
+    out = np.asarray(illum.draw_illumination(color, nbuf))
+    np.testing.assert_allclose(out, 100.0, atol=0.01)
+
+
+def test_edge_only_vertices_mode(cube_path):
+    filler = EdgeOnlyPixelBufferFiller(LineBresenham(),
+                                       np.array([255, 255, 255]),
+                                       draw_edges=False)
+    renderer = Renderer(filler, NoIllumination(), SimpleIterator, 64, 64,
+                        use_tqdm=False)
+    model = Model.read_model(cube_path)
+    image = renderer.render(model, normalize_model=True)
+    a = image.get_image()
+    # vertices only: at most 3*T lit pixels
+    assert 0 < (a.sum(-1) > 0).sum() <= 3 * model.n_triangles()
+
+
+def test_depth_iterator_through_renderer(trex_path):
+    """DepthIterator order through the batched Renderer path: identical
+    z-buffer to SimpleIterator (order only affects exact depth ties)."""
+    model = posed_trex(trex_path)
+    r1 = make_renderer(size=96)
+    r2 = make_renderer(size=96, iterator=DepthIterator)
+    r1.render(model)
+    r2.render(model)
+    z1 = r1.z_buffer.get_image()
+    z2 = r2.z_buffer.get_image()
+    np.testing.assert_allclose(z1, z2, atol=1e-6)

@@ -76,9 +76,17 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._sized_for: Optional[int] = None
         self._last_total = None
         self._last_active = None
-        self._frames_since_check = 0
-        #: frames between automatic capacity validations (host sync each)
-        self._VALIDATE_EVERY = 64
+        # Overflow auto-recovery: FIFO of the last few frames' inputs +
+        # (async-copied) slot-demand scalars. Totals older than _SETTLE_LAG
+        # frames have landed host-side, so draining them costs ~0; on
+        # overflow the bucket grows and the newest frame is re-rendered
+        # (see _settle_pending). validate_capacity() is the strict
+        # (blocking) sync point.
+        self._pending: list = []
+        # frames of detection lag: a total this old has finished its async
+        # host copy even over a high-RTT device tunnel, making the drain
+        # read free; a blocking read of a fresher scalar costs a full RTT
+        self._SETTLE_LAG = 8
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
         self._group: int = 4
 
@@ -129,6 +137,10 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._color, self._z, self._normals = color, z, normals
 
     def _rasterize(self, tri_verts, tri_norms, tri_colors):
+        # Drain capacity checks older than the lag window (free reads — the
+        # async copies have landed). Growth alone suffices here: the frame
+        # about to be dispatched replaces the G-buffers anyway.
+        self._settle_pending(lag=self._SETTLE_LAG, repair=False)
         if tri_verts.shape[0] == 0:   # empty scene → background
             h, w = self.get_size()
             return (jnp.zeros((h, w, 3), jnp.float32),
@@ -137,26 +149,13 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         backend = self._resolve_backend()
         if backend == "pallas":
             from .ops import binning, raster_pallas
-
-            ntx = -(-self.config.width // 128)
-            nty = -(-self.config.height // 8)
-            # a different model invalidates the cached capacity bucket; for
-            # same-model pose changes (same count, growing screen coverage)
-            # re-validate periodically — the check syncs on an already-
-            # finished frame's counter, so the steady-state pipeline only
-            # pays a host round-trip every _VALIDATE_EVERY frames. Bin reads
-            # are hard-clamped to capacity either way (binsort_pallas), so a
-            # stale bucket can only drop geometry, never corrupt memory.
-            self._frames_since_check += 1
-            if self._frames_since_check >= self._VALIDATE_EVERY:
-                self._frames_since_check = 0
-                self.validate_capacity()
             if self._p_cap is not None and self._sized_for != tri_verts.shape[0]:
                 self._p_cap = None
+                self._pending.clear()   # old-model demands are meaningless
             if self._p_cap is None:
                 # One-time sizing sync: learn the scene's bin-slot demand,
                 # cache a bucket with 25% headroom (binning cost scales with
-                # it) so animation never re-syncs; validate_capacity() grows
+                # it) so animation never re-syncs; _settle_pending() grows
                 # the bucket if a later frame overflows. The steady-state
                 # path below is exactly one dispatch per frame.
                 tris_screen, active = _geometry_stage(tri_verts, tri_norms,
@@ -165,11 +164,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
                     tris_screen, active, self.config, group=self._group)
                 self._p_cap = binning.capacity_bucket(int(total) * 5 // 4, 128)
                 self._sized_for = tri_verts.shape[0]
-            out, self._last_total, self._last_active = \
-                raster_pallas.render_frame(
-                    tri_verts, tri_norms, tri_colors, self.config,
-                    self._p_cap, ntx * nty, group=self._group,
-                    interpret=self._interpret)
+            out = self._dispatch_pallas(tri_verts, tri_norms, tri_colors)
+            self._track_pending(tri_verts, tri_norms, tri_colors)
             return out
         tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
         bbox = raster_ref.required_bbox_size(tris_screen, active, self.config)
@@ -178,17 +174,92 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         # backend is the oracle/fallback path; huge-triangle scenes at high
         # resolution should use the Pallas backend, whose footprint is
         # bbox-independent)
-        chunk = max(8, min(512, (1 << 20) // (bbox * bbox)))
+        budget = 1 << 20
+        if 8 * bbox * bbox > budget and jax.default_backend() == "tpu":
+            # Hard refusal instead of a best-effort shrink: past this point
+            # the fragment grid has been observed to OOM-crash the TPU
+            # worker. The Pallas backend has no bbox-dependent footprint.
+            raise ValueError(
+                f"scene's max triangle bbox ({bbox}px) exceeds the jnp "
+                f"backend's fragment budget at this resolution; use "
+                f"backend='pallas' (the default on TPU) for huge-triangle "
+                f"scenes")
+        chunk = max(8, min(512, budget // (bbox * bbox)))
         return raster_ref.rasterize(tris_screen, tri_colors, tri_norms, active,
                                     self.config, bbox_size=bbox, chunk=chunk)
+
+    def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors):
+        from .ops import raster_pallas
+
+        ntx = -(-self.config.width // 128)
+        nty = -(-self.config.height // 8)
+        out, self._last_total, self._last_active = \
+            raster_pallas.render_frame(
+                tri_verts, tri_norms, tri_colors, self.config,
+                self._p_cap, ntx * nty, group=self._group,
+                interpret=self._interpret)
+        return out
+
+    def _track_pending(self, tri_verts, tri_norms, tri_colors) -> None:
+        """Record a dispatched frame's inputs + demand for lazy validation.
+
+        The demand scalar's device→host copy starts immediately and
+        completes in the background alongside the frame's compute, so the
+        eventual drain read is free (a blocking read of a fresh device
+        scalar costs a full RTT on remote-tunneled devices).
+        """
+        try:
+            self._last_total.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending.append(
+            (tri_verts, tri_norms, tri_colors, self._last_total, self._p_cap))
+
+    def _settle_pending(self, lag: int = 0, repair: bool = True) -> bool:
+        """Drain queued capacity checks; grow + repair on overflow.
+
+        Reads every queued slot-demand scalar except the newest ``lag``
+        entries (whose async host copies may not have landed — reading them
+        would block for a device round trip). A frame overflowed when its
+        demand exceeded the capacity it was DISPATCHED at. On overflow the
+        bucket grows to 2x the observed demand and — when ``repair`` and the
+        newest frame was dispatched below the grown capacity — the newest
+        frame (the one in the G-buffers) is re-rendered. ``lag=0`` is the
+        strict mode used by ``validate_capacity``. Returns True when any
+        drained frame had overflowed.
+        """
+        from .ops import binning
+
+        if len(self._pending) <= lag:
+            return False
+        newest = self._pending[-1][:3]
+        newest_cap = self._pending[-1][4]
+        overflowed = False
+        while len(self._pending) > lag:
+            _tv, _tn, _tc, total, cap = self._pending.pop(0)
+            t = int(total)
+            if t > cap:
+                overflowed = True
+                if t > self._p_cap:
+                    self._p_cap = binning.capacity_bucket(2 * t, 128)
+        if overflowed and repair and newest_cap < self._p_cap:
+            # Re-render the newest frame (older pending frames are already
+            # superseded); its own demand re-queues for the next drain.
+            self._pending.clear()
+            tv, tn, tc = newest
+            self._color, self._z, self._normals = \
+                self._dispatch_pallas(tv, tn, tc)
+            self._track_pending(tv, tn, tc)
+        return overflowed
 
     def get_render_stats(self) -> dict:
         """Stats of the last rendered frame (host sync on device scalars).
 
-        Returns triangle→tile pair count and non-empty tile count for the
+        Returns triangle→tile slot count and non-empty tile count for the
         Pallas backend (None on the jnp path) — the observability hook the
         reference lacked (SURVEY §5).
         """
+        self.validate_capacity()
         return {
             "pairs": (int(self._last_total)
                       if self._last_total is not None else None),
@@ -198,35 +269,44 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         }
 
     def validate_capacity(self) -> bool:
-        """Check (with a host sync) that the last Pallas frame's bins fit.
+        """Strict sync point: block until every dispatched frame's bins are
+        verified to fit, repairing on overflow.
 
-        Returns True when the frame was complete. On overflow the capacity
-        bucket is grown; the caller should re-render the frame. Kept out of
-        the per-frame path because a device→host sync is expensive on
-        remote-tunneled devices; scenes with a fixed model never overflow
-        (the bucket has 2x headroom over the sizing frame).
+        Returns True when the latest frame was complete as dispatched. On
+        overflow the capacity bucket grows AND the frame is re-rendered
+        (repeatedly if needed) — unlike the reference, no truncated geometry
+        survives this call. Costs a device round trip; the zero-cost lazy
+        drain in the render path already bounds silent truncation to
+        ``_SETTLE_LAG`` frames with automatic repair, so most callers never
+        need this. Fixed-model scenes never overflow (the bucket has 25%
+        headroom over the sizing frame).
         """
-        from .ops import binning
+        clean = True
+        for _ in range(8):   # bounded: capacity doubles on every iteration
+            grew = self._settle_pending(lag=0, repair=True)
+            clean = clean and not grew
+            if not grew:
+                break
+        return clean
 
-        if self._p_cap is None or self._last_total is None:
-            return True
-        t = int(self._last_total)
-        if t <= self._p_cap:
-            return True
-        self._p_cap = binning.capacity_bucket(2 * t, 128)
-        return False
-
-    # buffer getters, cy-reference naming (pyx:246-253)
+    # buffer getters, cy-reference naming (pyx:246-253). Each getter drains
+    # any landed capacity checks first (free) so overflow is detected and
+    # repaired within _SETTLE_LAG frames; validate_capacity() gives the
+    # immediate guarantee when needed.
     def get_color_buffer(self) -> jnp.ndarray:
+        self._settle_pending(lag=self._SETTLE_LAG)
         return self._color
 
     def get_normals_buffer(self) -> jnp.ndarray:
+        self._settle_pending(lag=self._SETTLE_LAG)
         return self._normals
 
     def get_z_buffer(self) -> jnp.ndarray:
+        self._settle_pending(lag=self._SETTLE_LAG)
         return self._z
 
     def reset_buffers(self) -> None:
+        self._pending.clear()
         h, w = self.get_size()
         self._color = jnp.zeros((h, w, 3), jnp.float32)
         self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)

@@ -73,6 +73,13 @@ struct Corner {
   bool has_vn;
 };
 
+inline bool is_term(char ch) {
+  return ch == '\0' || ch == ' ' || ch == '\t' || ch == '\r' || ch == '\n';
+}
+
+// Python-parity corner parse: ``(comp + "//").split("/")[:3]`` — empty vt/vn
+// components are "absent", and everything past the third '/'-separated
+// component is ignored regardless of content.
 bool parse_corner(const char*& s, Corner* c) {
   while (*s == ' ' || *s == '\t' || *s == '\r') ++s;
   if (*s == '\0' || *s == '\n') return false;
@@ -85,7 +92,7 @@ bool parse_corner(const char*& s, Corner* c) {
   c->has_vn = false;
   if (*s == '/') {
     ++s;
-    if (*s != '/') {
+    if (*s != '/' && !is_term(*s)) {
       long vt = strtol(s, &end, 10);
       if (end == s) return false;
       s = end;
@@ -94,11 +101,15 @@ bool parse_corner(const char*& s, Corner* c) {
     }
     if (*s == '/') {
       ++s;
-      long vn = strtol(s, &end, 10);
-      if (end == s) return false;
-      s = end;
-      c->vn = fix_index(vn);
-      c->has_vn = true;
+      if (*s != '/' && !is_term(*s)) {
+        long vn = strtol(s, &end, 10);
+        if (end == s) return false;
+        s = end;
+        c->vn = fix_index(vn);
+        c->has_vn = true;
+      }
+      if (*s == '/')  // extra components: consume and ignore
+        while (!is_term(*s)) ++s;
     }
   }
   return true;

@@ -58,7 +58,11 @@ def _make_kernel(t: int, n_tiles: int, ntx: int, p_cap: int):
             @pl.when(cx * cy == 1)
             def _():          # fast path: single-tile triangle
                 pos = cursors[base]
-                order_ref[pos // 128, pos % 128] = tri
+
+                @pl.when(pos < p_cap)
+                def _():
+                    order_ref[pos // 128, pos % 128] = tri
+
                 cursors[base] = pos + 1
 
             @pl.when((cx * cy != 1) & (cx * cy > 0))
@@ -262,7 +266,7 @@ def bin_sort(tx0, cx, ty0, cy, ntx: int, nty: int, p_cap: int):
     counts = counts2d.reshape(-1).astype(jnp.int32)          # (n_tiles,)
     csum = jnp.cumsum(counts)
     total = csum[-1]
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
+    raw_starts = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
 
     kernel = _make_kernel(t, n_tiles, ntx, p_cap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -279,9 +283,14 @@ def bin_sort(tx0, cx, ty0, cy, ntx: int, nty: int, p_cap: int):
         out_shape=jax.ShapeDtypeStruct((p_cap // 128, 128), jnp.int32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tx0, cx, ty0, cy, starts, total.reshape(1))
+    )(tx0, cx, ty0, cy, raw_starts, total.reshape(1))
     # clamp: unplaced capacity slots hold stale ints; any in-range row is
     # harmless (see kernel note), index t is the zero pad row
     order = jnp.clip(order.reshape(-1), 0, t)
+    # Clamp the bin layout to the static capacity so raster-side DMA reads
+    # can never run past the binned buffer on overflow (overflow remains
+    # detectable via total > p_cap; trailing bins lose entries).
+    starts = jnp.minimum(raw_starts, p_cap)
+    counts = jnp.minimum(counts, p_cap - starts)
     n_active = jnp.sum((counts > 0).astype(jnp.int32))
     return order, starts, counts, total, n_active

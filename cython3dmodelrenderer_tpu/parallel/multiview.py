@@ -172,26 +172,37 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
                              config: RenderConfig, mesh: Mesh,
                              axis: str = "views", post_shift=(0.0, 0.0, 1.0),
                              bbox_size: int = 64, chunk: int = 512,
-                             backend: str = "jnp", p_cap: int = None):
+                             backend: str = "jnp", p_cap: int = None,
+                             interpret: bool = False, group: int = 4):
     """shard_map the turntable over a mesh axis: each device renders N/D views.
 
     Geometry is replicated (it is small); views are sharded. No collectives
     are needed — the output stays sharded over views for the caller to gather
-    or write out per shard. ``backend="pallas"`` runs the Pallas rasterizer
-    per device (requires ``p_cap`` from ``turntable_capacity``; real TPU
-    meshes only).
+    or write out per shard. ``backend="pallas"`` runs the production Pallas
+    rasterizer per device; ``p_cap`` (static bin capacity) is derived via
+    ``turntable_capacity`` when not given (one host sync before the sharded
+    dispatch). ``interpret=True`` runs the Pallas kernels in interpreter mode
+    so the sharded production path is testable on a CPU mesh.
     """
     n_dev = mesh.shape[axis]
     assert angles.shape[0] % n_dev == 0, \
         f"views ({angles.shape[0]}) must divide over {n_dev} devices"
+    if backend == "pallas" and p_cap is None:
+        p_cap = turntable_capacity(tri_verts, tri_norms, config,
+                                   post_shift=post_shift, group=group)
 
+    # check_vma=False for the Pallas branch: pallas_call out_shapes carry no
+    # varying-mesh-axes annotation; the body is collective-free (pure view
+    # data parallelism), so the check adds nothing here.
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(axis)), out_specs=P(axis))
+             in_specs=(P(), P(), P(), P(axis)), out_specs=P(axis),
+             check_vma=(backend != "pallas"))
     def shard(tv, tn, tc, ang):
         if backend == "pallas":
             return render_turntable_pallas(tv, tn, tc, ang, config,
                                            p_cap=p_cap,
-                                           post_shift=post_shift)
+                                           post_shift=post_shift,
+                                           interpret=interpret, group=group)
         return render_turntable(tv, tn, tc, ang, config,
                                 post_shift=post_shift, bbox_size=bbox_size,
                                 chunk=chunk)

@@ -141,6 +141,16 @@ class Renderer:
 
     def _render_wireframe(self, model: Model,
                           colors_override: Optional[jnp.ndarray]) -> None:
+        # A custom (non-built-in) LineDrawer must see every edge, like the
+        # reference routes all lines through the injected drawer
+        # (edge_only_pixel_buffer_filler.py:21-33) — fall back to the
+        # per-triangle loop so its draw_line override is honored.
+        from .ops.wireframe import LineBresenham
+
+        drawer = getattr(self.pixel_buffer_filler, "line_drawer", None)
+        if drawer is not None and type(drawer) is not LineBresenham:
+            self._render_per_triangle(model, colors_override)
+            return
         tri_colors = model.colors_by_triangles
         if tri_colors is None:
             tri_colors = colors_override

@@ -81,6 +81,26 @@ def test_2d_mesh_views_by_tris():
     dryrun_multichip(8)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_view_sharded_pallas_backend_matches_jnp():
+    """The PRODUCTION Pallas rasterizer under shard_map (interpret mode)."""
+    tv, tn, tc = tiny_scene(t=32, seed=5)
+    mesh = make_mesh([("views", 8)])
+    angles = multiview.turntable_angles(8)
+    # p_cap intentionally omitted: derived via turntable_capacity
+    pallas_out = np.asarray(multiview.render_turntable_sharded(
+        tv, tn, tc, angles, CONFIG, mesh=mesh, axis="views",
+        backend="pallas", interpret=True))
+    jnp_out = np.asarray(multiview.render_turntable_sharded(
+        tv, tn, tc, angles, CONFIG, mesh=mesh, axis="views",
+        bbox_size=32, chunk=16))
+    assert pallas_out.shape == jnp_out.shape == (8, 64, 64, 3)
+    # same winners except float-rounding at triangle edges
+    frac = (np.abs(pallas_out - jnp_out).max(-1) > 0.5).mean()
+    assert frac < 1e-3, frac
+    assert pallas_out.max() > 0
+
+
 def test_turntable_pallas_interpret_matches_jnp():
     """Pallas multiview (interpret mode) == jnp multiview."""
     tv, tn, tc = tiny_scene(t=24, seed=9)

@@ -117,3 +117,30 @@ def test_native_speed():
     t_nat = time.perf_counter() - t0
     # the native line loop should be at least 5x faster than pure Python
     assert t_nat < t_py / 5, (t_nat, t_py)
+
+
+def test_extra_face_components(tmp_path):
+    """Corner components past the third are ignored regardless of content
+    (python parity: ``(comp + "//").split("/")[:3]``), empty vt/vn after a
+    slash are absent, and malformed first-three components drop the line —
+    identically in both parsers."""
+    path = tmp_path / "extra.obj"
+    path.write_text(textwrap.dedent("""\
+        v 0 0 0
+        v 1 0 0
+        v 1 1 0
+        v 0 1 0
+        vt 0 0
+        vt 1 0
+        vt 1 1
+        vn 0 0 1
+        f 1/1/1/9 2/2/1/9 3/3/1/9
+        f 1/1/ 2/2/ 3/3/
+        f 1// 2// 3//
+        f 1/2/1/xyz 2/3/1/abc 3/1/1/!!
+        f 1/2/1/ 2/3/1/ 3/1/1/
+        f 1/x 2/2 3/3
+        f 1/2/1x 2/2 3/3
+        f 2 3 4
+        """))
+    assert_same_parse(str(path))

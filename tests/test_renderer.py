@@ -296,3 +296,41 @@ def test_depth_iterator_through_renderer(trex_path):
     z1 = r1.z_buffer.get_image()
     z2 = r2.z_buffer.get_image()
     np.testing.assert_allclose(z1, z2, atol=1e-6)
+
+
+def test_custom_line_drawer_sees_every_edge(cube_path):
+    """A non-built-in LineDrawer must receive every edge (reference routes
+    all lines through the injected drawer, edge_only_pixel_buffer_filler.py:
+    21-33) — the batched closed-form path only replaces LineBresenham."""
+    from cython3dmodelrenderer_tpu import LineDrawer
+
+    class RecordingDrawer(LineDrawer):
+        def __init__(self):
+            self.calls = []
+
+        def draw_line(self, p1, p2, buffer, color):
+            self.calls.append((tuple(p1), tuple(p2)))
+
+    model = Model.read_model(cube_path)
+    drawer = RecordingDrawer()
+    filler = EdgeOnlyPixelBufferFiller(drawer, np.array([255, 255, 255]))
+    renderer = Renderer(filler, NoIllumination(), SimpleIterator, 64, 64,
+                        use_tqdm=False)
+    renderer.render(model, normalize_model=True)
+    assert len(drawer.calls) == model.n_triangles() * 3
+
+
+def test_jnp_backend_refuses_huge_fragment_grids(cube_path, monkeypatch):
+    """On TPU the jnp fallback must error cleanly instead of OOM-crashing
+    the worker when the fragment working set explodes (huge-triangle scenes
+    at high resolution)."""
+    import jax
+
+    model = Model.read_model(cube_path)
+    model.scale(100.0)
+    model.shift([0.0, 0.0, 120.0])
+    filler = AdvancedPixelBufferFiller(1024, 1024, fov=90, backend="jnp")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="pallas"):
+        filler.render_model(model, colors_override=jnp.zeros(
+            (model.n_triangles(), 3, 3), jnp.float32))

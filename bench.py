@@ -6,8 +6,10 @@ Default invocation prints ONE JSON line — the headline metric (T-Rex.obj @
 all}`` benchmarks the other BASELINE.md configs, one JSON line each.
 
 The igor config's mesh is pruned from the mounted reference
-(.MISSING_LARGE_BLOBS) — basketball.obj substitutes as the textured mesh with
-igor's texture, exercising the same path (MTL texture sampling + Lambert).
+(.MISSING_LARGE_BLOBS) — the committed, reproducible ``assets/igor_sphere.obj``
+(displaced UV sphere, ``tools/make_igor_sphere.py``) stands in as the textured
+mesh with igor's texture, exercising the same path (texture sampling at vertex
+UVs + Lambert).
 """
 import argparse
 import json
@@ -20,14 +22,19 @@ BASELINE_MS = 9.0  # Version C, 8 threads (reference README.md:76)
 OBJECTS = os.environ.get("CRENDER_OBJECTS", "/root/reference/objects")
 
 
+ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+
+
 def _posed(name, pose=True):
     from cython3dmodelrenderer_tpu import Model, fit_model
 
     kwargs = {}
-    if name == "basketball.obj":  # igor substitute: external texture
+    base = OBJECTS
+    if name == "igor_sphere.obj":  # committed mesh + reference texture
+        base = ASSETS
         kwargs["external_texture_filename"] = os.path.join(
             OBJECTS, "igor_texture.png")
-    model = Model.read_model(os.path.join(OBJECTS, name), **kwargs)
+    model = Model.read_model(os.path.join(base, name), **kwargs)
     if pose:
         model.rotate([-90, 180, 0])
         model.rotate([10, -80, 0])
@@ -104,8 +111,8 @@ def bench_bunny():
 
 
 def bench_igor():
-    return _bench_single(_posed("basketball.obj"), 1024, 45, illum=True,
-                         metric="igor-substitute (basketball+igor texture) "
+    return _bench_single(_posed("igor_sphere.obj"), 1024, 45, illum=True,
+                         metric="igor-config (igor_sphere+igor texture) "
                                 "1024x1024 ms/frame (textured + Lambert)")
 
 

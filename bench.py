@@ -39,6 +39,11 @@ def _posed(name, pose=True):
         model.rotate([-90, 180, 0])
         model.rotate([10, -80, 0])
     fit_model(model)
+    if name == "igor_sphere.obj":
+        # fit_model normalizes RADIUS to 1 (reference model.py:160) and puts
+        # the center at z=1 — a round mesh would touch the camera plane, so
+        # push it one unit further back
+        model.shift([0.0, 0.0, 1.0])
     return model
 
 
@@ -80,6 +85,8 @@ def _bench_single(model, size, fov, illum, metric, vs_baseline=None):
         color, z, normal = filler._rasterize(tv, tn, tc)
         return shader.apply(color, normal)
 
+    first = frame()
+    assert float(jnp.max(first)) > 0, f"{metric}: rendered an empty frame"
     ms = _time_frames(frame)
     tris = model.n_triangles()
     out = {

@@ -1,0 +1,96 @@
+"""Mosaic-compiled Pallas rasterizer vs the XLA (jnp) oracle on real TPU.
+
+Bounds are the measured steady-state mismatch fractions (PERF_NOTES.md):
+differences come only from float rounding at triangle edges (plane-form λ in
+the kernel vs ratio-form λ in the oracle), so each config's fraction is
+stable across runs — a regression here means a kernel-lowering change broke
+real-hardware behavior that interpret-mode tests cannot see (layouts,
+``pltpu.roll``, DMA semaphores).
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cython3dmodelrenderer_tpu import Model, fit_model
+from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+
+
+def _load(path, pose, **kwargs):
+    model = Model.read_model(path, **kwargs)
+    if pose:
+        model.rotate([-90, 180, 0])
+        model.rotate([10, -80, 0])
+    fit_model(model)
+    return model
+
+
+def _render(model, size, fov, backend):
+    filler = AdvancedPixelBufferFiller(size, size, fov=fov, backend=backend)
+    tc = model.colors_by_triangles
+    if tc is None:
+        t = model.n_triangles()
+        rng = np.random.RandomState(0)
+        per_tri = rng.randint(256, size=(t, 3)).astype(np.float32)
+        tc = jnp.asarray(np.repeat(per_tri[:, None, :], 3, axis=1))
+    filler.render_model(model, colors_override=tc)
+    return (np.asarray(filler.get_color_buffer()),
+            np.asarray(filler.get_z_buffer()))
+
+
+def _mismatch(a, b, tol):
+    return float((np.abs(a - b).max(axis=-1) > tol).mean())
+
+
+# Bounds ~3-4x the measured steady-state fractions (see module docstring);
+# z compares at atol 1e-3 (nearly-coplanar winner flips differ by ~1e-5 —
+# rounding-class, not regressions), color at atol 0.5 (quantization unit).
+CONFIGS = [
+    # (name, pose, size, fov, max z-mismatch fraction, max color fraction)
+    ("cube.obj", False, 256, 90, 0.0, 0.0),
+    ("bunny.obj", True, 512, 45, 2e-5, 2e-5),
+    ("T-Rex.obj", True, 1024, 45, 5e-5, 1.5e-4),
+]
+
+
+@pytest.mark.parametrize("name,pose,size,fov,zmax,cmax", CONFIGS)
+def test_backend_parity(objects_dir, name, pose, size, fov, zmax, cmax):
+    path = os.path.join(objects_dir, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} unavailable")
+    model = _load(path, pose)
+    color_p, z_p = _render(model, size, fov, "pallas")
+    color_j, z_j = _render(model, size, fov, "jnp")
+    zfrac = _mismatch(z_p, z_j, 1e-3)
+    cfrac = _mismatch(color_p, color_j, 0.5)
+    assert zfrac <= zmax, f"{name} z mismatch {zfrac} > {zmax}"
+    assert cfrac <= cmax, f"{name} color mismatch {cfrac} > {cmax}"
+
+
+def test_backend_parity_igor_sphere(objects_dir, assets_dir):
+    path = os.path.join(assets_dir, "igor_sphere.obj")
+    tex = os.path.join(objects_dir, "igor_texture.png")
+    if not os.path.exists(tex):
+        pytest.skip("igor texture unavailable")
+    model = _load(path, True, external_texture_filename=tex)
+    # fit_model normalizes RADIUS to 1 — push the round mesh back so it
+    # doesn't touch the camera plane (same pose as bench.py's igor config)
+    model.shift([0.0, 0.0, 1.0])
+    color_p, z_p = _render(model, 512, 45, "pallas")
+    color_j, z_j = _render(model, 512, 45, "jnp")
+    assert _mismatch(z_p, z_j, 1e-3) <= 2e-5
+    assert _mismatch(color_p, color_j, 0.5) <= 2e-5
+
+
+def test_determinism_on_device(objects_dir):
+    """Bit-identical output across repeated renders on real hardware —
+    the race the reference ships (z-test outside the lock) is designed out."""
+    path = os.path.join(objects_dir, "T-Rex.obj")
+    if not os.path.exists(path):
+        pytest.skip("T-Rex unavailable")
+    model = _load(path, True)
+    c1, z1 = _render(model, 512, 45, "pallas")
+    c2, z2 = _render(model, 512, 45, "pallas")
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(z1, z2)

@@ -81,12 +81,16 @@ def _bench_single(model, size, fov, illum, metric, vs_baseline=None):
                          .astype(np.float32))
     shader = GuroIllumination([0, 0, 1]) if illum else NoIllumination()
 
+    post = "lambert_u8" if illum else "u8"
+    light = shader.light_direction if illum else None
+
     def frame():
-        color, z, normal = filler._rasterize(tv, tn, tc)
-        return shader.apply(color, normal)
+        # shade+quantize fused into the frame's single dispatch
+        filler._rasterize(tv, tn, tc, post=post, light=light)
+        return filler._post_image
 
     first = frame()
-    assert float(jnp.max(first)) > 0, f"{metric}: rendered an empty frame"
+    assert int(jnp.max(first)) > 0, f"{metric}: rendered an empty frame"
     ms = _time_frames(frame)
     tris = model.n_triangles()
     out = {

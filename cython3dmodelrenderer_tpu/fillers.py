@@ -89,6 +89,9 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._SETTLE_LAG = 8
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
         self._group: int = 4
+        # fused final-image pass of the last frame (see render_model(post=))
+        self._post_mode = ("none", None)
+        self._post_image: Optional[jnp.ndarray] = None
 
     def get_size(self) -> Tuple[int, int]:
         return self.config.height, self.config.width
@@ -110,12 +113,16 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         return "jnp"
 
     def render_model(self, model, order: Optional[jnp.ndarray] = None,
-                     colors_override: Optional[jnp.ndarray] = None) -> None:
+                     colors_override: Optional[jnp.ndarray] = None,
+                     post: str = "none", light=None) -> None:
         """Rasterize the whole model into the filler's G-buffers.
 
         ``order`` is an optional triangle permutation (iterator order; only
         affects depth-tie resolution). ``colors_override`` supplies (T, 3, 3)
-        colors for untextured models.
+        colors for untextured models. ``post`` ("none" | "u8" |
+        "lambert_u8", with ``light``) fuses the final-image shade/quantize
+        into the frame's single dispatch — read it from
+        ``get_post_image()``.
         """
         tri_verts = model.vertices_by_triangles
         tri_norms = model.normals_by_triangles
@@ -133,16 +140,22 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             tri_norms = tri_norms[order]
             tri_colors = tri_colors[order]
 
-        color, z, normals = self._rasterize(tri_verts, tri_norms, tri_colors)
+        color, z, normals = self._rasterize(tri_verts, tri_norms, tri_colors,
+                                            post=post, light=light)
         self._color, self._z, self._normals = color, z, normals
 
-    def _rasterize(self, tri_verts, tri_norms, tri_colors):
+    def _rasterize(self, tri_verts, tri_norms, tri_colors,
+                   post: str = "none", light=None):
         # Drain capacity checks older than the lag window (free reads — the
         # async copies have landed). Growth alone suffices here: the frame
         # about to be dispatched replaces the G-buffers anyway.
         self._settle_pending(lag=self._SETTLE_LAG, repair=False)
+        self._post_mode = (post, light)
+        self._post_image = None
         if tri_verts.shape[0] == 0:   # empty scene → background
             h, w = self.get_size()
+            if post != "none":
+                self._post_image = jnp.zeros((h, w, 3), jnp.uint8)
             return (jnp.zeros((h, w, 3), jnp.float32),
                     jnp.full((h, w, 1), self.config.z_init, jnp.float32),
                     jnp.zeros((h, w, 3), jnp.float32))
@@ -185,20 +198,36 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
                 f"backend='pallas' (the default on TPU) for huge-triangle "
                 f"scenes")
         chunk = max(8, min(512, budget // (bbox * bbox)))
-        return raster_ref.rasterize(tris_screen, tri_colors, tri_norms, active,
-                                    self.config, bbox_size=bbox, chunk=chunk)
+        out = raster_ref.rasterize(tris_screen, tri_colors, tri_norms, active,
+                                   self.config, bbox_size=bbox, chunk=chunk)
+        if post != "none":
+            from .ops.illumination import cast_u8, lambert_to_u8
+
+            self._post_image = (lambert_to_u8(out[0], out[2], light)
+                                if post == "lambert_u8" else cast_u8(out[0]))
+        return out
 
     def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors):
         from .ops import raster_pallas
 
         ntx = -(-self.config.width // 128)
         nty = -(-self.config.height // 8)
-        out, self._last_total, self._last_active = \
-            raster_pallas.render_frame(
-                tri_verts, tri_norms, tri_colors, self.config,
-                self._p_cap, ntx * nty, group=self._group,
-                interpret=self._interpret)
+        post, light = self._post_mode
+        res = raster_pallas.render_frame(
+            tri_verts, tri_norms, tri_colors, self.config,
+            self._p_cap, ntx * nty, group=self._group,
+            interpret=self._interpret, post=post, light=light)
+        if post == "none":
+            out, self._last_total, self._last_active = res
+        else:
+            out, self._last_total, self._last_active, self._post_image = res
         return out
+
+    def get_post_image(self) -> Optional[jnp.ndarray]:
+        """The fused final image of the last frame (uint8), or None when the
+        frame was rendered with ``post="none"``."""
+        self._settle_pending(lag=self._SETTLE_LAG)
+        return self._post_image
 
     def _track_pending(self, tri_verts, tri_norms, tri_colors) -> None:
         """Record a dispatched frame's inputs + demand for lazy validation.

@@ -33,6 +33,17 @@ def lambert_shade(color: jnp.ndarray, n_buffer: jnp.ndarray,
 _lambert = jax.jit(lambert_shade)
 
 
+@jax.jit
+def lambert_to_u8(color, n_buffer, light):
+    """Fused shade + uint8 quantize (the Renderer's final-image pass)."""
+    return lambert_shade(color, n_buffer, light).astype(jnp.uint8)
+
+
+@jax.jit
+def cast_u8(color):
+    return color.astype(jnp.uint8)
+
+
 class IlluminationDrawer:
     """Abstract shading pass over (color, normal) G-buffers.
 

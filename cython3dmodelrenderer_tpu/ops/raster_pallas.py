@@ -46,6 +46,11 @@ from . import binning
 
 _ROW = binning.ROW_WIDTH
 _ATTR0 = binning.IDX_ATTRS
+# rows actually carrying data: 12 plane coeffs + 4 bbox + 1 priority +
+# 3*N_ATTRS attribute-plane coeffs; the rest of the 128-lane row is zero
+# padding. The grouped kernel's pre-transposed layout trims the DMA to
+# these rows (~73% less chunk traffic than the full 128-row block).
+_ROWS_USED = binning.IDX_ATTRS + 3 * binning.N_ATTRS
 
 
 def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
@@ -190,14 +195,24 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
     Chunks interleave the tiles as 32-lane stripes (see
     ``binsort_pallas.bin_sort_grouped``), so sparse tiles share their
     chunk's lanes with denser neighbors — ~2-3x fewer chunk iterations than
-    one-tile-per-step on typical scenes. All winner reductions become
-    segmented roll-reductions over the 32-lane stripes.
+    one-tile-per-step on typical scenes.
+
+    Depth resolve is a LANE-LOCAL running minimum in the chunk loop (plain
+    compare+selects — the hot path has no cross-lane traffic at all) with
+    one segmented cross-lane argmin in the group epilogue. First-writer tie
+    semantics survive via a rank channel: each candidate carries its bin
+    rank ``j*sub + lane%sub`` (bins are sorted by triangle index, so rank
+    order == sequential order); lane-local strict-< keeps the earliest rank
+    per lane, and the epilogue breaks exact z ties by minimum rank. An
+    earlier variant reduced (z, attrs…) tuples with masked-roll windowed
+    doubling PER CHUNK — ~10 us of the ~16 us chunk cost; moving the
+    reduction to the epilogue cut the kernel roughly in half.
     """
     sub = chunk // group
     gh = group * tile_h
 
     def kernel(gstarts_ref, gchunks_ref, binned_ref, out_ref,
-               buf, zacc, attracc, sems, pref):
+               buf, zacc, racc, attracc, sems, pref):
         i = pl.program_id(0)
         start = gstarts_ref[i]
         nchunks = gchunks_ref[i]
@@ -223,13 +238,17 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         @pl.when(nchunks > 0)
         def _():
             _raster_group(start, nchunks, tx, gy, binned_ref, out_ref,
-                          buf, zacc, attracc, sems, pref,
+                          buf, zacc, racc, attracc, sems, pref,
                           gstarts_ref[pl.num_programs(0)] // chunk)
 
     def _raster_group(start, nchunks, tx, gy, binned_ref, out_ref,
-                      buf, zacc, attracc, sems, pref, total_chunks):
+                      buf, zacc, racc, attracc, sems, pref, total_chunks):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
         seg = lane // sub
+        # bin rank within the stripe's lane position: rank = j*sub + lane%sub
+        # (float — int32 lane math lowers poorly); carried per candidate so
+        # the epilogue can break exact z ties by sequential order
+        rk0 = (lane % sub).astype(jnp.float32)             # (1, 1, K)
         ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, 1), 1)
         iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0)
         pxf = (tx * tile_w + ix).astype(jnp.float32)       # (TH, TW, 1)
@@ -238,19 +257,17 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         pyf = (gy * gh + seg * tile_h + iy).astype(jnp.float32)  # (TH, 1, K)
 
         zacc[:] = jnp.full((tile_h, tile_w, chunk), jnp.inf, jnp.float32)
-
-        # hoist the segmented-argmin shuffle masks out of the chunk loop
-        shifts = []
-        sh = sub // 2
-        while sh >= 1:
-            shifts.append((sh, seg == pltpu.roll(seg, sh, axis=2)))
-            sh //= 2
+        racc[:] = jnp.zeros((tile_h, tile_w, chunk), jnp.float32)
 
         c0 = start // chunk
 
         def get_dma(c):
+            # chunks are pre-transposed XLA-side to (blocks, ROWS_USED, K):
+            # the DMA lands in the layout the plane evaluation reads, so no
+            # in-kernel relayout (a (128,128) vector transpose cost ~0.8 ms
+            # per frame) and only the non-zero rows move (~73% less traffic)
             return pltpu.make_async_copy(
-                binned_ref.at[pl.ds(c * chunk, chunk)],
+                binned_ref.at[c],
                 buf.at[c % 2],
                 sems.at[c % 2],
             )
@@ -270,7 +287,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
 
             pref[0] = jnp.where(c + 1 < total_chunks, c + 1, c)
             get_dma(c).wait()
-            d = jnp.swapaxes(buf[c % 2], 0, 1)          # (ROW, K)
+            d = buf[c % 2]                              # (ROWS_USED, K)
 
             def row(r):
                 return d[r:r + 1, :].reshape(1, 1, chunk)
@@ -290,50 +307,39 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             good = cover & okx & oky & zok
             zc = jnp.where(good, z, jnp.inf)
 
-            # Fused segmented ARGMIN over the (z, attrs…) tuple: one windowed
-            # doubling pass; on ties the EARLIER lane wins (sequential
-            # first-writer semantics). Attribute planes ride along in the
-            # selects, so no separate winner mask or extraction reduces.
-            # NaN guard: loser lanes may hold NaN attr planes but their zc is
-            # +inf, so `take` never selects them over a finite z; all-loser
-            # segments keep zc == inf and the epilogue masks them out.
-            vs = [jnp.where(good, plane(_ATTR0 + 3 * ch), 0.0)
-                  for ch in range(binning.N_ATTRS)]
-            for sh, same in shifts:
-                rz = pltpu.roll(zc, sh, axis=2)
-                take = same & (rz <= zc)      # earlier lane wins ties
-                zc = jnp.where(take, rz, zc)
-                vs = [jnp.where(take, pltpu.roll(v, sh, axis=2), v)
-                      for v in vs]
-            # complete at each segment's LAST lane only (forward pass)
-
+            # Lane-local running argmin: strict < keeps the EARLIEST rank
+            # per lane across chunks (rank grows with j). No cross-lane ops
+            # in the chunk loop — the segmented reduction happens once in
+            # the epilogue. NaN guard: loser lanes may hold NaN attr planes
+            # but their zc is +inf, so they never become `better`.
             better = zc < zacc[:]                        # (TH, TW, K)
             for ch in range(binning.N_ATTRS):
-                attracc[ch] = jnp.where(better, vs[ch], attracc[ch])
+                attracc[ch] = jnp.where(better, plane(_ATTR0 + 3 * ch),
+                                        attracc[ch])
+            racc[:] = jnp.where(better, rk0 + jnp.float32(sub) * j, racc[:])
             zacc[:] = jnp.where(better, zc, zacc[:])
             return 0
 
         jax.lax.fori_loop(0, nchunks, body, 0)
 
-        # Extract each stripe's (replicated) per-tile planes and stack the
-        # group's tiles vertically into the packed output block.
+        # Segmented cross-lane argmin per stripe, then stack the group's
+        # tiles vertically into the packed output block. Exact z ties break
+        # by minimum rank = sequential first-writer order.
         zfin = zacc[:]
-        has = ~jnp.isinf(zfin)
-
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
-        is_last = (lanes % sub) == (sub - 1)
+        rfin = racc[:]
 
         def tile_block(s):
-            # z is replicated across its 32 lanes; attribute accumulators
-            # are only valid at each segment's LAST lane (forward-only sums)
             inseg = seg == s
             zt = jnp.min(jnp.where(inseg, zfin, jnp.inf), axis=2)
             zt_out = jnp.where(jnp.isinf(zt), jnp.float32(z_init), zt)
+            cand = inseg & (zfin == zt[..., None])
+            rmin = jnp.min(jnp.where(cand, rfin, jnp.inf), axis=2)
+            win = cand & (rfin == rmin[..., None])       # one-hot per pixel
+            has = ~jnp.isinf(zt)
 
             def attr(ch):
-                v = jnp.max(jnp.where(inseg & has & is_last, attracc[ch],
-                                      -jnp.inf), axis=2)
-                return jnp.where(jnp.isinf(v), 0.0, v)   # uncovered → 0
+                v = jnp.max(jnp.where(win, attracc[ch], -jnp.inf), axis=2)
+                return jnp.where(has, v, 0.0)            # uncovered → 0
 
             planes = [attr(0), attr(1), attr(2), zt_out,
                       attr(3), attr(4), attr(5), jnp.zeros_like(zt_out)]
@@ -359,13 +365,20 @@ def _raster_tiles_grouped(binned, gstarts, gchunks,
         out_specs=pl.BlockSpec((gh, 8 * tile_w),
                                lambda i, *_: (i // ntx, i % ntx)),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, _ROW), jnp.float32),
+            pltpu.VMEM((2, _ROWS_USED, chunk), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
             pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
             pltpu.VMEM((binning.N_ATTRS, tile_h, tile_w, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
+    # pre-transpose + trim outside the kernel: XLA's transpose is HBM-
+    # bandwidth bound on a few MB (tens of us) vs ~0.8 ms of in-kernel
+    # vector relayout per frame
+    blocks = binned.shape[0] // chunk
+    binned_t = binned.reshape(blocks, chunk, _ROW) \
+        .swapaxes(1, 2)[:, :_ROWS_USED, :]
     packed = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -375,7 +388,7 @@ def _raster_tiles_grouped(binned, gstarts, gchunks,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(gstarts, gchunks, binned)
+    )(gstarts, gchunks, binned_t)
     s = packed.reshape(nty * tile_h, ntx, 8, tile_w)
     chans = [s[:, :, c, :].reshape(nty * tile_h, ntx * tile_w)
              for c in range(7)]
@@ -514,33 +527,52 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
 
 @functools.partial(jax.jit, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group"))
+    "group", "post"))
 def render_frame(tri_verts, tri_norms, tri_colors,
                  config: RenderConfig, p_cap: int, grid_cap: int,
                  tile_h: int = 8, tile_w: int = 128, chunk: int = 128,
-                 interpret: bool = False, group: int = 1):
-    """Whole frame as ONE dispatch: geometry → bin → raster.
+                 interpret: bool = False, group: int = 1,
+                 post: str = "none", light=None):
+    """Whole frame as ONE dispatch: geometry → bin → raster [→ shade].
 
     Per-dispatch overhead matters (over a remote-device tunnel it dominates),
     so the steady-state animation path is exactly one jitted call per frame
     with cached static capacities. Returns ((color, z, normal), cap_used,
-    n_active_tiles) — the caller may (lazily) verify ``cap_used <= p_cap``.
+    n_active_tiles[, post_image]) — the caller may (lazily) verify
+    ``cap_used <= p_cap``.
+
+    ``post`` fuses the final-image pass into the same dispatch (the separate
+    shade dispatch otherwise costs a second program launch per frame over
+    the tunnel): ``"u8"`` appends the uint8-quantized color image,
+    ``"lambert_u8"`` appends Lambert-shaded (``light`` = pre-negated
+    normalized direction) uint8 color.
     """
+    from .illumination import lambert_shade
     from .projection import project_to_screen, visibility_masks
 
     if tri_verts.shape[0] == 0:   # empty scene → background
         zero = jnp.zeros((), jnp.int32)
-        return _background(config), zero, zero
-
-    degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
-    active = jnp.logical_and(~degenerate, ~backfacing)
-    tris_screen = project_to_screen(tri_verts, config)
-    rows, tx0, cx, ty0, cy, counts, _total = _plane_stage(
-        tris_screen, tri_colors, tri_norms, active, config, tile_h, tile_w)
-    out, n_active, cap_used = _stage_b(
-        rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
-        tile_h, tile_w, chunk, interpret, group)
-    return out, cap_used, n_active
+        out = _background(config)
+    else:
+        degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
+        active = jnp.logical_and(~degenerate, ~backfacing)
+        tris_screen = project_to_screen(tri_verts, config)
+        rows, tx0, cx, ty0, cy, counts, _total = _plane_stage(
+            tris_screen, tri_colors, tri_norms, active, config, tile_h,
+            tile_w)
+        out, n_active, cap_used = _stage_b(
+            rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
+            tile_h, tile_w, chunk, interpret, group)
+    if tri_verts.shape[0] == 0:
+        n_active = cap_used = zero
+    if post == "none":
+        return out, cap_used, n_active
+    color, _z, normal = out
+    if post == "lambert_u8":
+        img = lambert_shade(color, normal, light).astype(jnp.uint8)
+    else:
+        img = color.astype(jnp.uint8)
+    return out, cap_used, n_active, img
 
 
 def _background(config: RenderConfig):

@@ -30,18 +30,8 @@ from .fillers import AdvancedPixelBufferFiller, EdgeOnlyPixelBufferFiller, \
     PixelBufferFiller
 from .models.buffer import Buffer
 from .models.model import Model
-from .ops.illumination import (GuroIllumination, IlluminationDrawer,
-                               lambert_shade)
-
-
-@jax.jit
-def _lambert_to_u8(color, normal, light):
-    return lambert_shade(color, normal, light).astype(jnp.uint8)
-
-
-@jax.jit
-def _cast_u8(color):
-    return color.astype(jnp.uint8)
+from .ops.illumination import GuroIllumination, IlluminationDrawer
+from .ops.illumination import cast_u8 as _cast_u8
 
 
 
@@ -118,23 +108,26 @@ class Renderer:
     def _render_batched(self, model: Model,
                         colors_override: Optional[jnp.ndarray]) -> None:
         filler = self.pixel_buffer_filler
-        filler.render_model(model, order=self._order(model),
-                            colors_override=colors_override)
-        # Shade + uint8-quantize in one fused dispatch (per-dispatch cost
-        # dominates small post-passes on remote-tunneled devices).
+        # Shade + uint8-quantize fused INTO the frame's single dispatch
+        # (per-dispatch cost dominates small post-passes on remote-tunneled
+        # devices). Exact-type checks: subclasses with overridden apply()
+        # must go through the generic path, not the fused builtin formulas.
         from .ops.illumination import NoIllumination
 
-        # exact-type checks: subclasses with overridden apply() must go
-        # through the generic path, not the fused builtin formulas
         if type(self.illumination) is GuroIllumination:
-            shaded_u8 = _lambert_to_u8(filler.get_color_buffer(),
-                                       filler.get_normals_buffer(),
-                                       self.illumination.light_direction)
+            post, light = "lambert_u8", self.illumination.light_direction
         elif type(self.illumination) is NoIllumination:
-            shaded_u8 = _cast_u8(filler.get_color_buffer())
-        else:  # custom drawers: generic two-dispatch path
+            post, light = "u8", None
+        else:
+            post, light = "none", None
+        filler.render_model(model, order=self._order(model),
+                            colors_override=colors_override,
+                            post=post, light=light)
+        if post == "none":  # custom drawers: generic two-dispatch path
             shaded_u8 = _cast_u8(self.illumination.apply(
                 filler.get_color_buffer(), filler.get_normals_buffer()))
+        else:
+            shaded_u8 = filler.get_post_image()
         self.color_buffer.array = shaded_u8
         self.z_buffer.array = filler.get_z_buffer()
         self.n_buffer.array = filler.get_normals_buffer()

@@ -47,8 +47,11 @@ def _posed(name, pose=True):
     return model
 
 
-def _time_frames(fn, n_warm=3, n_iter=20, n_trials=3):
-    """Best-of-N trials: the tunneled device's throughput is noisy."""
+def _time_frames(fn, n_warm=3, n_iter=100, n_trials=3):
+    """Best-of-N trials: the tunneled device's throughput is noisy, and each
+    timing window carries ~30 ms of fixed tunnel round-trip latency — the
+    window must be wide enough to amortize it (steady-state frame rate is
+    the metric, matching the reference's loop timing)."""
     import jax
 
     for _ in range(n_warm):

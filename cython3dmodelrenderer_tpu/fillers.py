@@ -19,6 +19,9 @@ kernel (``ops/raster_pallas.py``); ``"auto"`` picks pallas on TPU.
 """
 from __future__ import annotations
 
+import atexit
+import queue
+import threading
 from abc import abstractmethod
 from functools import partial
 from typing import Optional, Tuple
@@ -76,17 +79,24 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._sized_for: Optional[int] = None
         self._last_total = None
         self._last_active = None
-        # Overflow auto-recovery: FIFO of the last few frames' inputs +
-        # (async-copied) slot-demand scalars. Totals older than _SETTLE_LAG
-        # frames have landed host-side, so draining them costs ~0; on
-        # overflow the bucket grows and the newest frame is re-rendered
-        # (see _settle_pending). validate_capacity() is the strict
-        # (blocking) sync point.
-        self._pending: list = []
-        # frames of detection lag: a total this old has finished its async
-        # host copy even over a high-RTT device tunnel, making the drain
-        # read free; a blocking read of a fresher scalar costs a full RTT
-        self._SETTLE_LAG = 8
+        # Overflow auto-recovery: every dispatched frame's bin-slot demand
+        # scalar is handed to a BACKGROUND reader thread, because a blocking
+        # host read of a device scalar stalls for that frame's compute (and,
+        # on tunneled devices, for the whole dispatch backlog — there is no
+        # reliable cheap readiness signal there; ``is_ready()`` was observed
+        # optimistic while the pipeline is busy). The reader records any
+        # demand that exceeded its frame's dispatch capacity; the dispatch
+        # thread checks that flag (a lock + int compare, no device traffic)
+        # each render call, grows the bucket, and re-renders the newest
+        # frame. validate_capacity() is the strict sync point (joins the
+        # reader queue).
+        self._demand_q = None        # queue.Queue, created with the thread
+        self._reader = None          # daemon thread draining demand scalars
+        self._flag_lock = threading.Lock()
+        self._max_demand = 0         # peak overflowing demand seen by reader
+        self._gen = 0                # invalidates queued demands on model change
+        self._latest = None          # (tv, tn, tc, cap) of newest dispatch
+        self._validated = True       # no un-validated dispatches outstanding
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
         self._group: int = 4
         # fused final-image pass of the last frame (see render_model(post=))
@@ -146,10 +156,10 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
     def _rasterize(self, tri_verts, tri_norms, tri_colors,
                    post: str = "none", light=None):
-        # Drain capacity checks older than the lag window (free reads — the
-        # async copies have landed). Growth alone suffices here: the frame
-        # about to be dispatched replaces the G-buffers anyway.
-        self._settle_pending(lag=self._SETTLE_LAG, repair=False)
+        # Pick up overflow reports from the reader thread (a lock + int
+        # compare — no device traffic). Growth alone suffices here: the
+        # frame about to be dispatched replaces the G-buffers anyway.
+        self._settle_pending(repair=False)
         self._post_mode = (post, light)
         self._post_image = None
         if tri_verts.shape[0] == 0:   # empty scene → background
@@ -164,7 +174,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             from .ops import binning, raster_pallas
             if self._p_cap is not None and self._sized_for != tri_verts.shape[0]:
                 self._p_cap = None
-                self._pending.clear()   # old-model demands are meaningless
+                self._invalidate_pending()   # old-model demands are meaningless
             if self._p_cap is None:
                 # One-time sizing sync: learn the scene's bin-slot demand,
                 # cache a bucket with 25% headroom (binning cost scales with
@@ -226,60 +236,91 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
     def get_post_image(self) -> Optional[jnp.ndarray]:
         """The fused final image of the last frame (uint8), or None when the
         frame was rendered with ``post="none"``."""
-        self._settle_pending(lag=self._SETTLE_LAG)
+        self._settle_pending()
         return self._post_image
 
     def _track_pending(self, tri_verts, tri_norms, tri_colors) -> None:
-        """Record a dispatched frame's inputs + demand for lazy validation.
+        """Hand a dispatched frame's demand scalar to the reader thread.
 
-        The demand scalar's device→host copy starts immediately and
-        completes in the background alongside the frame's compute, so the
-        eventual drain read is free (a blocking read of a fresh device
-        scalar costs a full RTT on remote-tunneled devices).
+        Only the newest frame's INPUTS are retained (the repair target —
+        older frames' G-buffers are superseded); every frame's (demand
+        scalar, dispatch capacity) goes to the queue. The reader does the
+        blocking ``int()`` read off the dispatch thread, so the render loop
+        never waits on device scalars.
         """
-        try:
-            self._last_total.copy_to_host_async()
-        except AttributeError:
-            pass
-        self._pending.append(
-            (tri_verts, tri_norms, tri_colors, self._last_total, self._p_cap))
+        self._latest = (tri_verts, tri_norms, tri_colors, self._p_cap)
+        if self._reader is None:
+            self._demand_q = queue.Queue()
+            self._reader = threading.Thread(target=self._reader_loop,
+                                            daemon=True)
+            self._reader.start()
+            # Drain outstanding scalar reads before interpreter teardown:
+            # killing the daemon thread inside a blocking PJRT read aborts
+            # the process with an unhandled C++ exception.
+            atexit.register(self._drain_at_exit)
+        self._validated = False
+        self._demand_q.put((self._last_total, self._p_cap, self._gen))
 
-    def _settle_pending(self, lag: int = 0, repair: bool = True) -> bool:
-        """Drain queued capacity checks; grow + repair on overflow.
+    def _drain_at_exit(self, deadline_s: float = 30.0) -> None:
+        import time
 
-        Reads every queued slot-demand scalar except the newest ``lag``
-        entries (whose async host copies may not have landed — reading them
-        would block for a device round trip). A frame overflowed when its
-        demand exceeded the capacity it was DISPATCHED at. On overflow the
-        bucket grows to 2x the observed demand and — when ``repair`` and the
-        newest frame was dispatched below the grown capacity — the newest
-        frame (the one in the G-buffers) is re-rendered. ``lag=0`` is the
-        strict mode used by ``validate_capacity``. Returns True when any
-        drained frame had overflowed.
+        end = time.monotonic() + deadline_s
+        while (self._demand_q is not None
+               and self._demand_q.unfinished_tasks
+               and time.monotonic() < end):
+            time.sleep(0.01)
+
+    def _reader_loop(self) -> None:
+        while True:
+            total, cap, gen = self._demand_q.get()
+            try:
+                t = int(total)
+            except Exception:
+                t = 0      # a failed frame has nothing to validate
+            with self._flag_lock:
+                if t > cap and gen == self._gen:
+                    self._max_demand = max(self._max_demand, t)
+            self._demand_q.task_done()
+
+    def _invalidate_pending(self) -> None:
+        """Drop queued/recorded demands (model changed — they're meaningless)."""
+        with self._flag_lock:
+            self._gen += 1
+            self._max_demand = 0
+        self._latest = None
+
+    def _settle_pending(self, strict: bool = False,
+                        repair: bool = True) -> bool:
+        """Act on overflow reports from the reader thread; grow + repair.
+
+        A frame overflowed when its demand exceeded the capacity it was
+        DISPATCHED at. On overflow the bucket grows to 2x the observed
+        demand and — when ``repair`` and the newest frame was dispatched
+        below the grown capacity — the newest frame (the one in the
+        G-buffers) is re-rendered. Non-strict mode (the render path) is a
+        lock + integer compare: zero device traffic. ``strict=True`` (used
+        by ``validate_capacity``) first joins the reader queue, so every
+        dispatched frame's verdict is in. Returns True when any reported
+        frame had overflowed.
         """
         from .ops import binning
 
-        if len(self._pending) <= lag:
+        if strict and self._demand_q is not None:
+            self._demand_q.join()
+        with self._flag_lock:
+            demand, self._max_demand = self._max_demand, 0
+        if demand == 0:
             return False
-        newest = self._pending[-1][:3]
-        newest_cap = self._pending[-1][4]
-        overflowed = False
-        while len(self._pending) > lag:
-            _tv, _tn, _tc, total, cap = self._pending.pop(0)
-            t = int(total)
-            if t > cap:
-                overflowed = True
-                if t > self._p_cap:
-                    self._p_cap = binning.capacity_bucket(2 * t, 128)
-        if overflowed and repair and newest_cap < self._p_cap:
-            # Re-render the newest frame (older pending frames are already
-            # superseded); its own demand re-queues for the next drain.
-            self._pending.clear()
-            tv, tn, tc = newest
+        if demand > self._p_cap:
+            self._p_cap = binning.capacity_bucket(2 * demand, 128)
+        if repair and self._latest is not None and self._latest[3] < self._p_cap:
+            # Re-render the newest frame (older frames are superseded); its
+            # own demand re-queues for the next drain.
+            tv, tn, tc, _cap = self._latest
             self._color, self._z, self._normals = \
                 self._dispatch_pallas(tv, tn, tc)
             self._track_pending(tv, tn, tc)
-        return overflowed
+        return True
 
     def get_render_stats(self) -> dict:
         """Stats of the last rendered frame (host sync on device scalars).
@@ -305,37 +346,45 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         overflow the capacity bucket grows AND the frame is re-rendered
         (repeatedly if needed) — unlike the reference, no truncated geometry
         survives this call. Costs a device round trip; the zero-cost lazy
-        drain in the render path already bounds silent truncation to
-        ``_SETTLE_LAG`` frames with automatic repair, so most callers never
-        need this. Fixed-model scenes never overflow (the bucket has 25%
-        headroom over the sizing frame).
+        drain in the render path already detects overflow as soon as each
+        frame's async demand copy lands (at most ``_PENDING_CAP`` frames)
+        with automatic repair, so most callers never need this. Fixed-model
+        scenes never overflow (the bucket has 25% headroom over the sizing
+        frame).
         """
+        if self._validated:   # no dispatches since the last validation
+            return True
         clean = True
         for _ in range(8):   # bounded: capacity doubles on every iteration
-            grew = self._settle_pending(lag=0, repair=True)
+            grew = self._settle_pending(strict=True, repair=True)
             clean = clean and not grew
             if not grew:
                 break
+        self._validated = True
         return clean
 
-    # buffer getters, cy-reference naming (pyx:246-253). Each getter drains
-    # any landed capacity checks first (free) so overflow is detected and
-    # repaired within _SETTLE_LAG frames; validate_capacity() gives the
-    # immediate guarantee when needed.
+    # buffer getters, cy-reference naming (pyx:246-253). Each getter picks up
+    # any overflow report the reader thread has posted (a lock + int compare)
+    # and repairs before returning — NOT a blocking sync: on tunneled devices
+    # a hard sync right after a dispatch costs ~30 ms of completion-
+    # notification latency, which would serialize every animation frame.
+    # The reader detects an overflow about one frame after it computes, so
+    # truncation is repaired within a frame or two; validate_capacity() gives
+    # the immediate strict guarantee when needed.
     def get_color_buffer(self) -> jnp.ndarray:
-        self._settle_pending(lag=self._SETTLE_LAG)
+        self._settle_pending()
         return self._color
 
     def get_normals_buffer(self) -> jnp.ndarray:
-        self._settle_pending(lag=self._SETTLE_LAG)
+        self._settle_pending()
         return self._normals
 
     def get_z_buffer(self) -> jnp.ndarray:
-        self._settle_pending(lag=self._SETTLE_LAG)
+        self._settle_pending()
         return self._z
 
     def reset_buffers(self) -> None:
-        self._pending.clear()
+        self._invalidate_pending()
         h, w = self.get_size()
         self._color = jnp.zeros((h, w, 3), jnp.float32)
         self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)

@@ -94,8 +94,12 @@ def _make_kernel(t: int, n_tiles: int, ntx: int, p_cap: int):
     return kernel
 
 
-def _make_group_kernel(t: int, n_tiles: int, ntx: int, group: int, sub: int):
-    def kernel(tx0_ref, cx_ref, ty0_ref, cy_ref, gstarts_ref,
+def _make_group_kernel(n_tiles: int, ntx: int, group: int, sub: int):
+    # The (triangle, tile) pair list is fully enumerated XLA-side (see
+    # bin_sort_grouped) as one packed int32 per pair: bits [0:14] = tile,
+    # [14:] = triangle index. The scalar loop is a BRANCHLESS emit per pair
+    # with a dynamic trip count — one SMEM read, cursor bump, bounded store.
+    def kernel(pairs_ref, np_ref, gstarts_ref,
                order_ref, cursors, bases, bounds):
         # Per-tile slot base (group start + stripe offset) and group bound,
         # precomputed once so the hot emit path does two fewer SMEM reads
@@ -116,8 +120,10 @@ def _make_group_kernel(t: int, n_tiles: int, ntx: int, group: int, sub: int):
 
         # Placement into group-interleaved slots: group g's chunk j holds
         # [tile0 ranks 32j.., tile1, tile2, tile3] as 32-lane stripes.
-        def emit(ty, tx, tri):
-            tile = ty * ntx + tx
+        def place(i, _):
+            p = pairs_ref[i]
+            tile = p & ((1 << 14) - 1)
+            tri = p >> 14
             r = cursors[tile]
             pos = bases[tile] + (r // sub) * (group * sub) + (r % sub)
 
@@ -128,33 +134,9 @@ def _make_group_kernel(t: int, n_tiles: int, ntx: int, group: int, sub: int):
                 order_ref[pos // 128, pos % 128] = tri
 
             cursors[tile] = r + 1
-
-        def place(tri, _):
-            cxv = cx_ref[tri]
-            cyv = cy_ref[tri]
-            base_ty = ty0_ref[tri]
-            base_tx = tx0_ref[tri]
-
-            @pl.when(cxv * cyv == 1)
-            def _():          # fast path: ~85% of triangles are single-tile
-                emit(base_ty, base_tx, tri)
-
-            @pl.when((cxv * cyv != 1) & (cxv * cyv > 0))
-            def _():
-
-                def over_y(dy, _):
-                    def over_x(dx, _):
-                        emit(base_ty + dy, base_tx + dx, tri)
-                        return 0
-
-                    jax.lax.fori_loop(0, cxv, over_x, 0)
-                    return 0
-
-                jax.lax.fori_loop(0, cyv, over_y, 0)
-
             return 0
 
-        jax.lax.fori_loop(0, t, place, 0)
+        jax.lax.fori_loop(0, np_ref[0], place, 0)
 
     return kernel
 
@@ -200,6 +182,10 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
     n_tiles = ntx * nty
     n_groups = ntx * (nty // group)
     assert slot_cap % 128 == 0
+    # packed-descriptor bit budget: cx gets 6 bits (ntx <= 63 → <=8063 px
+    # wide at 128-px tiles) and the tile index 14 bits (<=16384 tiles)
+    assert ntx <= 63 and n_tiles <= (1 << 14), \
+        "image too large for the packed bin descriptor"
 
     tile_counts, gchunks = group_histogram(tx0, cx, ty0, cy, ntx, nty,
                                            group, sub)
@@ -219,9 +205,40 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
     # prefetch
     gstarts = 128 * jnp.concatenate([start_c, cum_c[-1:]])
 
-    kernel = _make_group_kernel(t, n_tiles, ntx, group, sub)
+    # Enumerate ALL (triangle, tile) pairs XLA-side, in triangle order with
+    # each triangle's covered tiles in row-major (dy, dx) order — exactly
+    # the sequential order the depth-tie rule needs. Vectorized run
+    # expansion: scatter each active triangle's metadata to its run start
+    # (run starts = exclusive cumsum of per-triangle pair counts), then
+    # fill forward with a cummax — valid because every scattered word has
+    # the ascending triangle index in its high bits. The scalar placement
+    # kernel is left with one branchless cursor-bump emit per pair.
+    assert t < (1 << 17), "pair packing supports up to 2^17 triangles"
+    act = (cx > 0) & (cy > 0)
+    pc = jnp.where(act, cx * cy, 0)              # pairs per triangle
+    off = jnp.cumsum(pc) - pc                    # run start per triangle
+    total_pairs = off[-1] + pc[-1]
+    n_pairs = jnp.minimum(total_pairs, slot_cap)
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
+    startpos = jnp.where(act, off, slot_cap)     # inactive → dropped
+    zeros = jnp.zeros((slot_cap,), jnp.int32)
+
+    def ffill(vals):   # vals nondecreasing in triangle order
+        return jax.lax.cummax(zeros.at[startpos].set(vals, mode="drop"))
+
+    a_p = ffill((tri_ids << 6) | cx)             # [0:6] cx
+    b_p = ffill((tri_ids << 14) | (ty0 * ntx + tx0))   # [0:14] base tile
+    off_p = ffill(off)                           # off itself ascends
+    k = jnp.arange(slot_cap, dtype=jnp.int32) - off_p  # rank within the run
+    cx_p = a_p & 63
+    dy = k // jnp.maximum(cx_p, 1)
+    dx = k - dy * cx_p
+    tile_p = (b_p & ((1 << 14) - 1)) + dy * ntx + dx
+    pairs = ((a_p >> 6) << 14) | tile_p          # [0:14] tile, [14:] triangle
+
+    kernel = _make_group_kernel(n_tiles, ntx, group, sub)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(1,),
         in_specs=[],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -237,7 +254,7 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tx0, cx, ty0, cy, gstarts)
+    )(pairs, n_pairs.reshape(1), gstarts)
     order = jnp.clip(order.reshape(-1), 0, t)
     n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
     return order, gstarts, gchunks, tile_counts, total_slots, n_active

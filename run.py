@@ -41,6 +41,9 @@ def tpu_renderer(model, out_path="output/T-Rex.png", size=1024):
     dt = (time.perf_counter() - t0) / n
     print(f"frame time (compiled, amortized over {n}): {dt * 1e3:.2f} ms")
 
+    # strict capacity validation (one sync) before the frame leaves the device
+    filler.validate_capacity()
+    image = renderer.render(model)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     image.write_to_file(out_path)
     print(f"wrote {out_path}")

@@ -257,9 +257,13 @@ def test_overflow_auto_recovery():
 
 
 def test_overflow_lazy_drain_repairs_growing_sweep():
-    """Without explicit validate_capacity() calls, the zero-cost lag drain
-    in the render path must still detect a mid-sweep overflow and repair —
-    by the end of the sweep the buffers match an amply-sized fresh render."""
+    """Without explicit validate_capacity() calls, the background demand
+    reader must detect a mid-sweep overflow and the lazy getter drain must
+    repair — the buffers CONVERGE to an amply-sized fresh render within a
+    bounded wait (the reader runs asynchronously; a strict sync would cost
+    ~30 ms/frame of tunnel latency in production)."""
+    import time
+
     from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
 
     t = 768
@@ -270,15 +274,20 @@ def test_overflow_lazy_drain_repairs_growing_sweep():
 
     filler = AdvancedPixelBufferFiller(64, 64, fov=60, backend="pallas",
                                       interpret=True)
-    filler._SETTLE_LAG = 2   # keep the sweep short in interpret mode
     scales = [0.1, 0.1, 12.0, 12.0, 12.0, 12.0, 12.0]
     for s in scales:
         scene = ctr + (tris - ctr) * np.array([s, s, 1.0], np.float32)
         filler.render_model(_ArrayModel(scene, normals, colors))
-    got = np.asarray(filler.get_color_buffer())
 
     fresh = AdvancedPixelBufferFiller(64, 64, fov=60, backend="pallas",
                                       interpret=True)
     big = ctr + (tris - ctr) * np.array([12.0, 12.0, 1.0], np.float32)
     fresh.render_model(_ArrayModel(big, normals, colors))
-    np.testing.assert_array_equal(got, np.asarray(fresh.get_color_buffer()))
+    want = np.asarray(fresh.get_color_buffer())
+
+    deadline = time.monotonic() + 60.0
+    got = np.asarray(filler.get_color_buffer())
+    while not np.array_equal(got, want) and time.monotonic() < deadline:
+        time.sleep(0.05)
+        got = np.asarray(filler.get_color_buffer())
+    np.testing.assert_array_equal(got, want)

@@ -33,10 +33,11 @@ from .raster_ref import bbox_ceil
 
 # float32 kernel-row layout (see plane_data): 12 edge/z plane coefs
 # [A0 B0 C0 A1 B1 C1 A2 B2 C2 Az Bz Cz], 4 bbox [xl xr yl yr], priority,
-# then 18 attribute-plane coefs (6 channels B G R nx ny nz × [A, B, C]).
-# Width is a full 128-lane register row: TPU memrefs lane-pad the minor dim
-# and partial-width slices are not legal in Mosaic, so pack to the pad.
-ROW_WIDTH = 128
+# then 18 attribute-plane coefs (6 channels B G R nx ny nz × [A, B, C]) =
+# 35 live columns, padded to the next power of two. 64 (not a full
+# 128-lane row) halves the HBM traffic of the per-pair gather/transpose
+# glue; Mosaic handles the 64-wide minor dim fine (lane-padded in VMEM).
+ROW_WIDTH = 64
 IDX_BBOX = 12
 IDX_PRIO = 16
 IDX_ATTRS = 17
@@ -140,11 +141,11 @@ def bin_pairs_fast(rows: jnp.ndarray, tx0, cx, ty0, cy,
 
     order, tile_starts, tile_counts, _total, n_active = bin_sort(
         tx0, cx, ty0, cy, ntx=ntx, nty=nty, p_cap=p_cap)
-    rows_padded = jnp.concatenate(
-        [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)])
-    binned = rows_padded[order]            # clamped stale slots → real rows,
-    # which provably cannot affect any tile's output (see binsort_pallas)
-    binned = jnp.pad(binned, ((0, chunk), (0, 0)))  # chunk-tail guard
+    # One gather, no zero-row concat and no materialized chunk-tail pad:
+    # stale/tail slots clamp to some real row, which provably cannot affect
+    # any tile's output (duplicate-or-fail-bbox, see binsort_pallas).
+    order = jnp.pad(order, (0, chunk))     # chunk-tail guard slots
+    binned = rows[jnp.minimum(order, rows.shape[0] - 1)]
     return binned, tile_starts, tile_counts, n_active
 
 

@@ -4,8 +4,9 @@ This is the production backend replacing the reference's OpenMP scanline loop
 with per-pixel locks (``crender/cy/.../advanced_pixel_buffer_filler.pyx:
 177-242``). Design:
 
-* the image is a grid of VPU-aligned tiles (default 8×128, the float32
-  register tile); each Pallas grid step owns one tile — no two steps ever
+* the image is a grid of VPU-aligned tiles (default 8×64 — narrower than
+  the 128-lane register tile: per-candidate pixel work dominates, and the
+  lane dimension is filled by candidates, not pixels); each Pallas grid step owns one tile — no two steps ever
   write the same pixel, so the z-race the reference locks against (and still
   gets wrong — pyx:223 vs 233) cannot exist;
 * triangles arrive pre-binned per tile (``ops/binning.py``) as packed
@@ -47,9 +48,9 @@ from . import binning
 _ROW = binning.ROW_WIDTH
 _ATTR0 = binning.IDX_ATTRS
 # rows actually carrying data: 12 plane coeffs + 4 bbox + 1 priority +
-# 3*N_ATTRS attribute-plane coeffs; the rest of the 128-lane row is zero
+# 3*N_ATTRS attribute-plane coeffs; the rest of the 64-wide row is zero
 # padding. The grouped kernel's pre-transposed layout trims the DMA to
-# these rows (~73% less chunk traffic than the full 128-row block).
+# these rows (~45% less chunk traffic than the full 64-row block).
 _ROWS_USED = binning.IDX_ATTRS + 3 * binning.N_ATTRS
 
 
@@ -480,10 +481,12 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty_g,
                              slot_cap=p_cap, group=group, sub=chunk // group,
                              interpret=interpret)
-        rows_padded = jnp.concatenate(
-            [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)])
-        binned = rows_padded[order]
-        binned = jnp.pad(binned, ((0, chunk), (0, 0)))
+        # One gather, no zero-row concat and no materialized chunk-tail
+        # pad: stale/tail slots clamp to some real row, which provably
+        # cannot affect any tile's output (duplicate-or-fail-bbox
+        # invariant — see binsort_pallas module docstring).
+        order = jnp.pad(order, (0, chunk))   # chunk-tail guard slots
+        binned = rows[jnp.minimum(order, rows.shape[0] - 1)]
         cb, cg, cr, z_img, nx, ny, nz = _raster_tiles_grouped(
             binned, gstarts, gchunks, p_cap, ntx, nty_g,
             tile_h, tile_w, chunk, group, config.z_init, interpret)
@@ -509,7 +512,7 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
 @functools.partial(jax.jit, static_argnames=(
     "config", "tile_h", "tile_w", "chunk", "group"))
 def grouped_slot_total(tris_screen, active, config: RenderConfig,
-                       tile_h: int = 8, tile_w: int = 128, chunk: int = 128,
+                       tile_h: int = 8, tile_w: int = 64, chunk: int = 128,
                        group: int = 4):
     """Slot count a grouped frame needs (device scalar; one sizing sync)."""
     from .binsort_pallas import group_histogram
@@ -530,7 +533,7 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
     "group", "post"))
 def render_frame(tri_verts, tri_norms, tri_colors,
                  config: RenderConfig, p_cap: int, grid_cap: int,
-                 tile_h: int = 8, tile_w: int = 128, chunk: int = 128,
+                 tile_h: int = 8, tile_w: int = 64, chunk: int = 128,
                  interpret: bool = False, group: int = 1,
                  post: str = "none", light=None):
     """Whole frame as ONE dispatch: geometry → bin → raster [→ shade].
@@ -587,7 +590,7 @@ def rasterize(tris_screen: jnp.ndarray,
               normals: jnp.ndarray,
               active: jnp.ndarray,
               config: RenderConfig,
-              tile_h: int = 8, tile_w: int = 128, chunk: int = 128,
+              tile_h: int = 8, tile_w: int = 64, chunk: int = 128,
               interpret: bool = False
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rasterize projected triangles into (color, z, normal) G-buffers.

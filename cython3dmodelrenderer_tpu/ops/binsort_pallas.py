@@ -7,18 +7,22 @@ across the TPU's units:
 * **histogram + scan stay in XLA**: per-tile pair counts are a separable
   membership matmul ``myᵀ @ mx`` over (T, n_tiles_y/x) masks — exact in f32
   on the MXU — and bin starts are one tiny cumsum;
-* **placement runs here**: walk triangles in ascending index order, emitting
-  each triangle's index at its bin cursor (SMEM scalar loop). Ascending
-  order per tile is exactly the stable order the depth-tie rule needs.
+* **placement runs here**: walk the (triangle, tile) pairs in ascending
+  triangle order, emitting each triangle's index at its tile's bin cursor
+  (SMEM scalar loop). Ascending order per tile is exactly the stable order
+  the depth-tie rule needs.
 
-The pair list is never materialized — the kernel iterates (tx0, cx, ty0, cy)
-spans directly, with a fast path for the ~85% of triangles that cover a
-single tile. Unplaced capacity slots are left uninitialized and clamped by
-the caller into valid row indices — safe because plane_data zeroes culled
-rows' bboxes (SAFETY INVARIANT there), so any row that can cover a pixel is
-already in that pixel's bin at an earlier rank. Scalar stores must target
-SMEM, and SMEM output windows pad each row to 512 bytes — hence the
-(N/128, 128) output shapes.
+The grouped path (``bin_sort_grouped``, the production one) materializes
+the pair list XLA-side — two scatter+cummax fill-forwards expand the
+per-triangle tile spans into one packed int32 per pair — so its scalar
+loop is a branchless unrolled emit per pair. The one-tile-per-step path
+(``bin_sort``) still iterates (tx0, cx, ty0, cy) spans directly with a
+single-tile fast path. Unplaced capacity slots are left uninitialized and
+clamped by the caller into valid row indices — safe because plane_data
+zeroes culled rows' bboxes (SAFETY INVARIANT there), so any row that can
+cover a pixel is already in that pixel's bin at an earlier rank. Scalar
+stores must target SMEM, and SMEM output windows pad each row to 512
+bytes — hence the (N/128, 128) output shapes.
 """
 from __future__ import annotations
 
@@ -94,16 +98,22 @@ def _make_kernel(t: int, n_tiles: int, ntx: int, p_cap: int):
     return kernel
 
 
-def _make_group_kernel(n_tiles: int, ntx: int, group: int, sub: int):
+def _make_group_kernel(n_tiles: int, ntx: int, group: int, sub: int,
+                       unroll: int = 8):
     # The (triangle, tile) pair list is fully enumerated XLA-side (see
     # bin_sort_grouped) as one packed int32 per pair: bits [0:14] = tile,
     # [14:] = triangle index. The scalar loop is a BRANCHLESS emit per pair
-    # with a dynamic trip count — one SMEM read, cursor bump, bounded store.
+    # (one SMEM read, cursor bump, bounded store), unrolled ``unroll``x to
+    # amortize fori_loop overhead (~a third of the per-emit cost). The tail
+    # past the true pair count holds sentinel pairs targeting the virtual
+    # tile ``n_tiles`` whose bound is 0, so overrun emits are dropped by the
+    # regular bound guard.
     def kernel(pairs_ref, np_ref, gstarts_ref,
                order_ref, cursors, bases, bounds):
         # Per-tile slot base (group start + stripe offset) and group bound,
         # precomputed once so the hot emit path does two fewer SMEM reads
-        # and no group-index arithmetic.
+        # and no group-index arithmetic. Entry n_tiles is the sentinel:
+        # base 0, bound 0 (nothing ever stores through it).
         def init(i, _):
             cursors[i] = 0
             g = (i // (ntx * group)) * ntx + i % ntx
@@ -112,6 +122,9 @@ def _make_group_kernel(n_tiles: int, ntx: int, group: int, sub: int):
             return 0
 
         jax.lax.fori_loop(0, n_tiles, init, 0)
+        cursors[n_tiles] = 0
+        bases[n_tiles] = 0
+        bounds[n_tiles] = 0
 
         # Unplaced slots stay uninitialized — they clamp to arbitrary row
         # indices downstream, which is safe because plane_data zeroes the
@@ -120,7 +133,7 @@ def _make_group_kernel(n_tiles: int, ntx: int, group: int, sub: int):
 
         # Placement into group-interleaved slots: group g's chunk j holds
         # [tile0 ranks 32j.., tile1, tile2, tile3] as 32-lane stripes.
-        def place(i, _):
+        def emit(i):
             p = pairs_ref[i]
             tile = p & ((1 << 14) - 1)
             tri = p >> 14
@@ -134,9 +147,13 @@ def _make_group_kernel(n_tiles: int, ntx: int, group: int, sub: int):
                 order_ref[pos // 128, pos % 128] = tri
 
             cursors[tile] = r + 1
+
+        def place(i, _):
+            for u in range(unroll):
+                emit(i * unroll + u)
             return 0
 
-        jax.lax.fori_loop(0, np_ref[0], place, 0)
+        jax.lax.fori_loop(0, (np_ref[0] + unroll - 1) // unroll, place, 0)
 
     return kernel
 
@@ -182,9 +199,9 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
     n_tiles = ntx * nty
     n_groups = ntx * (nty // group)
     assert slot_cap % 128 == 0
-    # packed-descriptor bit budget: cx gets 6 bits (ntx <= 63 → <=8063 px
-    # wide at 128-px tiles) and the tile index 14 bits (<=16384 tiles)
-    assert ntx <= 63 and n_tiles <= (1 << 14), \
+    # packed-descriptor bit budget: cx gets 6 bits (ntx <= 63) and the tile
+    # index 14 bits (< 16384 tiles, one value reserved for the sentinel)
+    assert ntx <= 63 and n_tiles < (1 << 14), \
         "image too large for the packed bin descriptor"
 
     tile_counts, gchunks = group_histogram(tx0, cx, ty0, cy, ntx, nty,
@@ -210,10 +227,14 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
     # the sequential order the depth-tie rule needs. Vectorized run
     # expansion: scatter each active triangle's metadata to its run start
     # (run starts = exclusive cumsum of per-triangle pair counts), then
-    # fill forward with a cummax — valid because every scattered word has
-    # the ascending triangle index in its high bits. The scalar placement
-    # kernel is left with one branchless cursor-bump emit per pair.
+    # fill forward with a cummax — valid because every scattered word is
+    # strictly increasing in triangle order (run starts ascend by >= 1 per
+    # active triangle, so off<<6 dominates cx; the triangle index dominates
+    # the base tile). Two scatters total (XLA's 1D scatter is a serial
+    # loop, so each one matters). The scalar placement kernel is left with
+    # one branchless cursor-bump emit per pair.
     assert t < (1 << 17), "pair packing supports up to 2^17 triangles"
+    assert slot_cap < (1 << 17), "pair packing supports up to 2^17 slots"
     act = (cx > 0) & (cy > 0)
     pc = jnp.where(act, cx * cy, 0)              # pairs per triangle
     off = jnp.cumsum(pc) - pc                    # run start per triangle
@@ -223,18 +244,23 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
     startpos = jnp.where(act, off, slot_cap)     # inactive → dropped
     zeros = jnp.zeros((slot_cap,), jnp.int32)
 
-    def ffill(vals):   # vals nondecreasing in triangle order
+    def ffill(vals):   # vals strictly increasing in active-triangle order
         return jax.lax.cummax(zeros.at[startpos].set(vals, mode="drop"))
 
-    a_p = ffill((tri_ids << 6) | cx)             # [0:6] cx
+    a_p = ffill((off << 6) | cx)                 # [0:6] cx, [6:] run start
     b_p = ffill((tri_ids << 14) | (ty0 * ntx + tx0))   # [0:14] base tile
-    off_p = ffill(off)                           # off itself ascends
-    k = jnp.arange(slot_cap, dtype=jnp.int32) - off_p  # rank within the run
+    k = jnp.arange(slot_cap, dtype=jnp.int32) - (a_p >> 6)  # rank in run
     cx_p = a_p & 63
     dy = k // jnp.maximum(cx_p, 1)
     dx = k - dy * cx_p
     tile_p = (b_p & ((1 << 14) - 1)) + dy * ntx + dx
-    pairs = ((a_p >> 6) << 14) | tile_p          # [0:14] tile, [14:] triangle
+    pairs = ((b_p >> 14) << 14) | tile_p         # [0:14] tile, [14:] triangle
+    # tail past the true pair count → sentinel pairs targeting the virtual
+    # tile n_tiles (bound 0, never stored); lets the kernel's unrolled loop
+    # overrun the count by up to unroll-1 slots safely (slot_cap % 4 == 0,
+    # so the overrun never leaves the pairs array)
+    idx = jnp.arange(slot_cap, dtype=jnp.int32)
+    pairs = jnp.where(idx < n_pairs, pairs, jnp.int32(n_tiles))
 
     kernel = _make_group_kernel(n_tiles, ntx, group, sub)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -243,9 +269,9 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
         in_specs=[],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.SMEM((n_tiles,), jnp.int32),
-            pltpu.SMEM((n_tiles,), jnp.int32),
-            pltpu.SMEM((n_tiles,), jnp.int32),
+            pltpu.SMEM((n_tiles + 1,), jnp.int32),
+            pltpu.SMEM((n_tiles + 1,), jnp.int32),
+            pltpu.SMEM((n_tiles + 1,), jnp.int32),
         ],
     )
     order = pl.pallas_call(

@@ -6,9 +6,10 @@ with per-pixel locks (``crender/cy/.../advanced_pixel_buffer_filler.pyx:
 
 * the image is a grid of VPU-aligned tiles (default 8×64 — narrower than
   the 128-lane register tile: per-candidate pixel work dominates, and the
-  lane dimension is filled by candidates, not pixels); each Pallas grid step owns one tile — no two steps ever
-  write the same pixel, so the z-race the reference locks against (and still
-  gets wrong — pyx:223 vs 233) cannot exist;
+  lane dimension is filled by candidates, not pixels); each Pallas grid
+  step owns one tile — no two steps ever write the same pixel, so the
+  z-race the reference locks against (and still gets wrong — pyx:223 vs
+  233) cannot exist;
 * triangles arrive pre-binned per tile (``ops/binning.py``) as packed
   128-lane rows carrying affine plane coefficients: the three barycentric
   edge functions, the depth plane, and all six attribute channels (color +
@@ -52,6 +53,14 @@ _ATTR0 = binning.IDX_ATTRS
 # padding. The grouped kernel's pre-transposed layout trims the DMA to
 # these rows (~45% less chunk traffic than the full 64-row block).
 _ROWS_USED = binning.IDX_ATTRS + 3 * binning.N_ATTRS
+
+# default raster tile: 8 sublanes x 64 px. Narrower than the 128-lane
+# register tile on purpose — the lane dimension carries bin candidates,
+# not pixels, and 8x64 measured fastest (see PERF_NOTES "Config
+# sensitivities"). Callers that size capacity (grouped_slot_total) and
+# dispatch (render_frame) MUST use the same tile.
+TILE_H = 8
+TILE_W = 64
 
 
 def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
@@ -301,6 +310,10 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             l2 = plane(6)
             z = plane(9)
 
+            # (a single min-tree coverage test — fold all nine conditions
+            # into one sign check via subtractive forms — was tried here
+            # and measured ~2% SLOWER: NaN-propagating jnp.minimum lowers
+            # to compare+select pairs, costlier than plain compare+and)
             cover = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
             okx = (pxf >= row(12)) & (pxf < row(13))
             oky = (pyf >= row(14)) & (pyf < row(15))
@@ -512,7 +525,7 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
 @functools.partial(jax.jit, static_argnames=(
     "config", "tile_h", "tile_w", "chunk", "group"))
 def grouped_slot_total(tris_screen, active, config: RenderConfig,
-                       tile_h: int = 8, tile_w: int = 64, chunk: int = 128,
+                       tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 128,
                        group: int = 4):
     """Slot count a grouped frame needs (device scalar; one sizing sync)."""
     from .binsort_pallas import group_histogram
@@ -533,7 +546,7 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
     "group", "post"))
 def render_frame(tri_verts, tri_norms, tri_colors,
                  config: RenderConfig, p_cap: int, grid_cap: int,
-                 tile_h: int = 8, tile_w: int = 64, chunk: int = 128,
+                 tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 128,
                  interpret: bool = False, group: int = 1,
                  post: str = "none", light=None):
     """Whole frame as ONE dispatch: geometry → bin → raster [→ shade].
@@ -590,7 +603,7 @@ def rasterize(tris_screen: jnp.ndarray,
               normals: jnp.ndarray,
               active: jnp.ndarray,
               config: RenderConfig,
-              tile_h: int = 8, tile_w: int = 64, chunk: int = 128,
+              tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 128,
               interpret: bool = False
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rasterize projected triangles into (color, z, normal) G-buffers.

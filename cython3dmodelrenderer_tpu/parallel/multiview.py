@@ -116,8 +116,9 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     """
     from ..ops import raster_pallas
 
-    ntx = -(-config.width // 128)
-    nty = -(-config.height // 8)
+    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    ntx = -(-config.width // tw)
+    nty = -(-config.height // th)
     light = -jnp.asarray(light_direction, jnp.float32)
     light = light / jnp.linalg.norm(light)
 
@@ -127,10 +128,10 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
         act = jnp.logical_and(~degenerate, ~backfacing)
         ts = project_to_screen(v, config)
         rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
-            ts, tri_colors, n, act, config, 8, 128)
+            ts, tri_colors, n, act, config, th, tw)
         (color, _z, normal), _na, _used = raster_pallas._stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, ntx * nty,
-            8, 128, chunk, interpret, group)
+            th, tw, chunk, interpret, group)
         return lambert_shade(color, light=light, n_buffer=normal)
 
     return jax.lax.map(one, angles)
@@ -215,28 +216,85 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
 # --------------------------------------------------------------------------
 
 
+def triangle_shard_capacity(tri_verts, tri_norms, config: RenderConfig,
+                            mesh: Mesh, axis: str = "tris",
+                            group: int = 4, headroom_num: int = 5,
+                            headroom_den: int = 4) -> int:
+    """Static per-shard bin capacity for triangle-sharded Pallas rendering.
+
+    Computes each shard's bin-slot demand on its own device, takes the mesh
+    max (one ``pmax``), and buckets with headroom. One host sync.
+    """
+    from ..ops import binning, raster_pallas
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+             out_specs=P())
+    def totals(tv, tn):
+        degenerate, backfacing = visibility_masks(tv, tn)
+        act = jnp.logical_and(~degenerate, ~backfacing)
+        ts = project_to_screen(tv, config)
+        tot = raster_pallas.grouped_slot_total(ts, act, config, group=group)
+        return jax.lax.pmax(tot, axis)
+
+    peak = int(totals(tri_verts, tri_norms))
+    return binning.capacity_bucket(peak * headroom_num // headroom_den, 128)
+
+
 def render_triangle_sharded(tri_verts, tri_norms, tri_colors,
                             config: RenderConfig, mesh: Mesh,
                             axis: str = "tris",
                             bbox_size: int = 64, chunk: int = 512,
-                            light_direction=(0.0, 0.0, 1.0)):
+                            light_direction=(0.0, 0.0, 1.0),
+                            backend: str = "jnp", p_cap: int = None,
+                            interpret: bool = False, group: int = 4):
     """Shard triangles across the mesh; merge partial G-buffers by z-argmin.
 
     Each device rasterizes its triangle shard into a full-resolution partial
     G-buffer. The merge is an all-reduce min over a packed (z, shard) key
     followed by a select — the deterministic, lock-free ICI equivalent of the
     reference's per-pixel OpenMP lock grid (pyx:69-77,233-242).
+
+    ``backend="pallas"`` rasterizes each shard with the production Pallas
+    kernel (``p_cap`` derived via ``triangle_shard_capacity`` when not
+    given); depth ties still resolve exactly like the sequential reference,
+    because shards hold contiguous triangle ranges — within a shard the
+    kernel's rank tiebreak applies, across shards the lower shard index
+    (= lower triangle indices) wins.
     """
     t = tri_verts.shape[0]
     n_dev = mesh.shape[axis]
     assert t % n_dev == 0, f"triangles ({t}) must divide over {n_dev} devices"
+    if backend == "pallas" and p_cap is None:
+        p_cap = triangle_shard_capacity(tri_verts, tri_norms, config, mesh,
+                                        axis=axis, group=group)
+
+    light = -jnp.asarray(light_direction, jnp.float32)
+    light = light / jnp.linalg.norm(light)
+
+    def _rasterize_shard_pallas(tv, tn, tc):
+        from ..ops import raster_pallas
+
+        th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+        degenerate, backfacing = visibility_masks(tv, tn)
+        act = jnp.logical_and(~degenerate, ~backfacing)
+        ts = project_to_screen(tv, config)
+        rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
+            ts, tc, tn, act, config, th, tw)
+        (color, z, normal), _na, _used = raster_pallas._stage_b(
+            rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
+            th, tw, 128, interpret, group)
+        return lambert_shade(color, light=light, n_buffer=normal), z, normal
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(axis), P(axis), P(axis)), out_specs=P())
+             in_specs=(P(axis), P(axis), P(axis)), out_specs=P(),
+             check_vma=(backend != "pallas"))
     def shard(tv, tn, tc):
-        color, z, normal = render_view(tv, tn, tc, config,
-                                       bbox_size=bbox_size, chunk=chunk,
-                                       light_direction=light_direction)
+        if backend == "pallas":
+            color, z, normal = _rasterize_shard_pallas(tv, tn, tc)
+        else:
+            color, z, normal = render_view(tv, tn, tc, config,
+                                           bbox_size=bbox_size, chunk=chunk,
+                                           light_direction=light_direction)
         my = jax.lax.axis_index(axis)
         # Exact two-step z-argmin: min depth across shards, then the lowest
         # shard index among exact-depth winners (earlier shards hold lower

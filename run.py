@@ -33,7 +33,9 @@ def tpu_renderer(model, out_path="output/T-Rex.png", size=1024):
         image = renderer.render(model)
     jax.block_until_ready(image.array)
 
-    n = 10
+    # wide window: each timing window carries ~30 ms of fixed tunnel
+    # round-trip latency; steady-state frame rate is the metric
+    n = 100
     t0 = time.perf_counter()
     for _ in range(n):
         image = renderer.render(model)

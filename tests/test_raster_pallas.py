@@ -291,3 +291,60 @@ def test_overflow_lazy_drain_repairs_growing_sweep():
         time.sleep(0.05)
         got = np.asarray(filler.get_color_buffer())
     np.testing.assert_array_equal(got, want)
+
+
+def test_binsort_grouped_overflow_clamps_and_unroll_tail():
+    """Direct bin_sort_grouped hardening: with an undersized slot_cap the
+    placement must stay in bounds (clamped group layout, no neighbor
+    stomping), and pair counts not divisible by the unroll factor must not
+    let the overrun emits corrupt the order (sentinel-tile tail)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cython3dmodelrenderer_tpu.ops.binsort_pallas import (
+        bin_sort_grouped, group_histogram)
+
+    rng = np.random.RandomState(3)
+    t = 37                                  # odd count → unroll-8 tail
+    ntx, nty, group, sub = 4, 8, 4, 32
+    tx0 = jnp.asarray(rng.randint(0, ntx, t), jnp.int32)
+    ty0 = jnp.asarray(rng.randint(0, nty, t), jnp.int32)
+    cx = jnp.asarray(np.minimum(rng.randint(1, 4, t), ntx - np.asarray(tx0)),
+                     jnp.int32)
+    cy = jnp.asarray(np.minimum(rng.randint(1, 4, t), nty - np.asarray(ty0)),
+                     jnp.int32)
+
+    ample = 128 * int(jnp.sum(group_histogram(
+        tx0, cx, ty0, cy, ntx, nty, group, sub)[1]))
+    for slot_cap in (ample, 128):           # ample and badly undersized
+        order, gstarts, gchunks, tile_counts, total, n_active = \
+            bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty,
+                             slot_cap=slot_cap, group=group, sub=sub,
+                             interpret=True)
+        order = np.asarray(order)
+        gstarts = np.asarray(gstarts)
+        assert order.shape == (slot_cap,)
+        # clip contract: placed slots hold real triangle ids, unplaced
+        # slots clamp into [0, t]
+        assert order.min() >= 0 and order.max() <= t
+        assert gstarts[-1] <= slot_cap      # clamped chunk layout
+        assert np.all(np.asarray(gchunks) >= 0)
+
+    # ample capacity: every (triangle, tile) pair must be placed exactly
+    # once in its tile's stripe slots, in ascending triangle order
+    order, gstarts, gchunks, tile_counts, total, _ = bin_sort_grouped(
+        tx0, cx, ty0, cy, ntx=ntx, nty=nty, slot_cap=ample, group=group,
+        sub=sub, interpret=True)
+    order, gstarts, tile_counts = map(np.asarray,
+                                      (order, gstarts, tile_counts))
+    tx0n, ty0n, cxn, cyn = map(np.asarray, (tx0, ty0, cx, cy))
+    for tile in range(ntx * nty):
+        tyv, txv = divmod(tile, ntx)
+        want = [tri for tri in range(t)
+                if (tx0n[tri] <= txv < tx0n[tri] + cxn[tri]
+                    and ty0n[tri] <= tyv < ty0n[tri] + cyn[tri])]
+        g = (tyv // group) * ntx + txv
+        base = gstarts[g] + (tyv % group) * sub
+        got = [order[base + (r // sub) * (group * sub) + r % sub]
+               for r in range(tile_counts[tile])]
+        assert got == want, f"tile {tile}: {got} != {want}"

@@ -220,12 +220,10 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
     def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors):
         from .ops import raster_pallas
 
-        ntx = -(-self.config.width // 128)
-        nty = -(-self.config.height // 8)
         post, light = self._post_mode
         res = raster_pallas.render_frame(
             tri_verts, tri_norms, tri_colors, self.config,
-            self._p_cap, ntx * nty, group=self._group,
+            self._p_cap, 0, group=self._group,
             interpret=self._interpret, post=post, light=light)
         if post == "none":
             out, self._last_total, self._last_active = res

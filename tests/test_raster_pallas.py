@@ -112,7 +112,8 @@ def test_grouped_kernel_dense_scene():
 
     rows, tx0, cx, ty0, cy, counts, _t = rp._stage_a(ts, tc, tn, active,
                                                      config, 8, 128)
-    slots = int(rp.grouped_slot_total(ts, active, config, group=4))
+    slots = int(rp.grouped_slot_total(ts, active, config,
+                                  tile_h=8, tile_w=128, group=4))
     p_cap = binning.capacity_bucket(slots, 128)
     pal, _na, used = rp._stage_b_jit(rows, tx0, cx, ty0, cy, counts,
                                      config=config, p_cap=p_cap, grid_cap=0,
@@ -142,7 +143,8 @@ def test_odd_image_sizes_grouped():
                                    bbox_size=bbox, chunk=16)
         rows, tx0, cx, ty0, cy, counts, _t = rp._stage_a(
             ts, tc, tn, active, config, 8, 128)
-        slots = int(rp.grouped_slot_total(ts, active, config, group=4))
+        slots = int(rp.grouped_slot_total(ts, active, config,
+                                  tile_h=8, tile_w=128, group=4))
         p_cap = binning.capacity_bucket(slots, 128)
         pal, _na, _used = rp._stage_b_jit(rows, tx0, cx, ty0, cy, counts,
                                           config=config, p_cap=p_cap,
@@ -202,8 +204,8 @@ def test_fuzz_parity_many_seeds():
                 p_cap = binning.capacity_bucket(int(total), 128)
             else:
                 p_cap = binning.capacity_bucket(
-                    int(rp.grouped_slot_total(ts, active, config,
-                                              group=group)), 128)
+                    int(rp.grouped_slot_total(ts, active, config, tile_h=8,
+                                              tile_w=128, group=group)), 128)
             pal, _na, _u = rp._stage_b_jit(
                 rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
                 grid_cap=0, tile_h=8, tile_w=128, chunk=128, interpret=True,

@@ -148,8 +148,12 @@ def bench_turntable():
 
     def sweep():
         return multiview.render_turntable_pallas(tv, tn, tc, angles, config,
-                                                 p_cap=p_cap)
+                                                 p_cap=p_cap,
+                                                 check_capacity=True)
 
+    _imgs, used = sweep()
+    assert int(used) <= p_cap, \
+        f"turntable bin demand {int(used)} overflowed p_cap {p_cap}"
     ms = _time_frames(sweep, n_warm=2, n_iter=3)
     return {
         "metric": "64-camera T-Rex turntable 1024x1024 ms/view",

@@ -22,6 +22,7 @@ from __future__ import annotations
 import atexit
 import queue
 import threading
+import weakref
 from abc import abstractmethod
 from functools import partial
 from typing import Optional, Tuple
@@ -51,6 +52,83 @@ def _geometry_stage(tri_verts, tri_norms, config: RenderConfig):
     active = jnp.logical_and(~degenerate, ~backfacing)
     tris_screen = project_to_screen(tri_verts, config)
     return tris_screen, active
+
+
+class _DemandReader:
+    """Background drain of per-frame bin-demand scalars.
+
+    A blocking host read of a device scalar stalls for that frame's compute
+    (and, on tunneled devices, for the whole dispatch backlog — there is no
+    reliable cheap readiness signal; ``is_ready()`` was observed optimistic
+    while the pipeline is busy), so the reader thread does the blocking
+    ``int()`` off the dispatch thread and posts any demand that exceeded its
+    frame's dispatch capacity. Owns NO reference back to its filler: the
+    filler registers a ``weakref.finalize`` that posts the shutdown
+    sentinel, so fillers (and their device buffers) stay collectable and
+    no thread outlives its filler.
+    """
+
+    _SHUTDOWN = object()
+
+    def __init__(self):
+        self.q = queue.Queue()
+        self.lock = threading.Lock()
+        self.max_demand = 0   # peak overflowing demand since the last take()
+        self.gen = 0          # bumps on model change; stale reports ignored
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        _LIVE_READERS.add(self)
+
+    def put(self, total, cap) -> None:
+        # called from the dispatch thread only (same thread as invalidate,
+        # so the gen snapshot is consistent without the lock)
+        self.q.put((total, cap, self.gen))
+
+    def invalidate(self) -> None:
+        with self.lock:
+            self.gen += 1
+            self.max_demand = 0
+
+    def take(self) -> int:
+        with self.lock:
+            demand, self.max_demand = self.max_demand, 0
+        return demand
+
+    def stop(self) -> None:
+        self.q.put(self._SHUTDOWN)
+
+    def _loop(self) -> None:
+        while True:
+            item = self.q.get()
+            try:
+                if item is self._SHUTDOWN:
+                    return
+                total, cap, gen = item
+                try:
+                    t = int(total)
+                except Exception:
+                    t = 0      # a failed frame has nothing to validate
+                with self.lock:
+                    if t > cap and gen == self.gen:
+                        self.max_demand = max(self.max_demand, t)
+            finally:
+                self.q.task_done()
+
+
+_LIVE_READERS = weakref.WeakSet()
+
+
+@atexit.register
+def _drain_readers_at_exit(deadline_s: float = 30.0) -> None:
+    """Let outstanding blocking PJRT scalar reads finish before interpreter
+    teardown: killing a daemon thread inside one aborts the process with an
+    unhandled C++ exception."""
+    import time
+
+    end = time.monotonic() + deadline_s
+    for reader in list(_LIVE_READERS):
+        while reader.q.unfinished_tasks and time.monotonic() < end:
+            time.sleep(0.01)
 
 
 class AdvancedPixelBufferFiller(PixelBufferFiller):
@@ -90,11 +168,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         # each render call, grows the bucket, and re-renders the newest
         # frame. validate_capacity() is the strict sync point (joins the
         # reader queue).
-        self._demand_q = None        # queue.Queue, created with the thread
-        self._reader = None          # daemon thread draining demand scalars
-        self._flag_lock = threading.Lock()
-        self._max_demand = 0         # peak overflowing demand seen by reader
-        self._gen = 0                # invalidates queued demands on model change
+        self._reader = None          # _DemandReader, created on first use
         self._latest = None          # (tv, tn, tc, cap) of newest dispatch
         self._validated = True       # no un-validated dispatches outstanding
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
@@ -163,6 +237,10 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._post_mode = (post, light)
         self._post_image = None
         if tri_verts.shape[0] == 0:   # empty scene → background
+            # drop any queued overflow reports from the PREVIOUS model: a
+            # late report must not re-render superseded geometry over the
+            # empty-scene buffers
+            self._invalidate_pending()
             h, w = self.get_size()
             if post != "none":
                 self._post_image = jnp.zeros((h, w, 3), jnp.uint8)
@@ -248,43 +326,18 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         """
         self._latest = (tri_verts, tri_norms, tri_colors, self._p_cap)
         if self._reader is None:
-            self._demand_q = queue.Queue()
-            self._reader = threading.Thread(target=self._reader_loop,
-                                            daemon=True)
-            self._reader.start()
-            # Drain outstanding scalar reads before interpreter teardown:
-            # killing the daemon thread inside a blocking PJRT read aborts
-            # the process with an unhandled C++ exception.
-            atexit.register(self._drain_at_exit)
+            self._reader = _DemandReader()
+            # Stop the reader thread when THIS filler is collected — the
+            # reader holds no reference back to the filler, so fillers
+            # (and their device buffers) stay garbage-collectable.
+            weakref.finalize(self, self._reader.stop)
         self._validated = False
-        self._demand_q.put((self._last_total, self._p_cap, self._gen))
-
-    def _drain_at_exit(self, deadline_s: float = 30.0) -> None:
-        import time
-
-        end = time.monotonic() + deadline_s
-        while (self._demand_q is not None
-               and self._demand_q.unfinished_tasks
-               and time.monotonic() < end):
-            time.sleep(0.01)
-
-    def _reader_loop(self) -> None:
-        while True:
-            total, cap, gen = self._demand_q.get()
-            try:
-                t = int(total)
-            except Exception:
-                t = 0      # a failed frame has nothing to validate
-            with self._flag_lock:
-                if t > cap and gen == self._gen:
-                    self._max_demand = max(self._max_demand, t)
-            self._demand_q.task_done()
+        self._reader.put(self._last_total, self._p_cap)
 
     def _invalidate_pending(self) -> None:
         """Drop queued/recorded demands (model changed — they're meaningless)."""
-        with self._flag_lock:
-            self._gen += 1
-            self._max_demand = 0
+        if self._reader is not None:
+            self._reader.invalidate()
         self._latest = None
 
     def _settle_pending(self, strict: bool = False,
@@ -303,10 +356,11 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         """
         from .ops import binning
 
-        if strict and self._demand_q is not None:
-            self._demand_q.join()
-        with self._flag_lock:
-            demand, self._max_demand = self._max_demand, 0
+        if self._reader is None:
+            return False
+        if strict:
+            self._reader.q.join()
+        demand = self._reader.take()
         if demand == 0:
             return False
         if demand > self._p_cap:
@@ -344,11 +398,11 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         overflow the capacity bucket grows AND the frame is re-rendered
         (repeatedly if needed) — unlike the reference, no truncated geometry
         survives this call. Costs a device round trip; the zero-cost lazy
-        drain in the render path already detects overflow as soon as each
-        frame's async demand copy lands (at most ``_PENDING_CAP`` frames)
-        with automatic repair, so most callers never need this. Fixed-model
-        scenes never overflow (the bucket has 25% headroom over the sizing
-        frame).
+        drain in the render path already detects overflow as soon as the
+        reader thread's blocking read of each frame's demand scalar
+        completes (typically within a frame or two) with automatic repair,
+        so most callers never need this. Fixed-model scenes never overflow
+        (the bucket has 25% headroom over the sizing frame).
         """
         if self._validated:   # no dispatches since the last validation
             return True
@@ -369,6 +423,17 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
     # The reader detects an overflow about one frame after it computes, so
     # truncation is repaired within a frame or two; validate_capacity() gives
     # the immediate strict guarantee when needed.
+    def snapshot_buffers(self):
+        """One CONSISTENT (color, z, normals, post_image) snapshot.
+
+        Settles queued overflow reports exactly once before reading, so all
+        four tensors come from the same render generation — per-getter
+        settling could repair between two reads and hand the caller a torn
+        frame (e.g. pre-repair color with post-repair z).
+        """
+        self._settle_pending()
+        return self._color, self._z, self._normals, self._post_image
+
     def get_color_buffer(self) -> jnp.ndarray:
         self._settle_pending()
         return self._color

@@ -129,6 +129,20 @@ def capacity_bucket(total: int, chunk: int, bucket: int = 4096) -> int:
     return -(-(total + chunk) // bucket) * bucket
 
 
+def gather_binned(rows: jnp.ndarray, order: jnp.ndarray,
+                  chunk: int) -> jnp.ndarray:
+    """Gather plane rows into placed bin order, plus a chunk-tail guard.
+
+    One gather, no zero-row concat and no materialized chunk-tail pad:
+    stale/tail slots clamp to some real row, which provably cannot affect
+    any tile's output (duplicate-or-fail-bbox — any real row either fails
+    the bbox test for the reading tile or duplicates an entry already in
+    that tile's bin at an earlier rank; see binsort_pallas).
+    """
+    order = jnp.pad(order, (0, chunk))     # chunk-tail guard slots
+    return rows[jnp.minimum(order, rows.shape[0] - 1)]
+
+
 def bin_pairs_fast(rows: jnp.ndarray, tx0, cx, ty0, cy,
                    p_cap: int, ntx: int, nty: int, chunk: int):
     """Counting-sort binning via the Pallas placement kernel.
@@ -141,11 +155,7 @@ def bin_pairs_fast(rows: jnp.ndarray, tx0, cx, ty0, cy,
 
     order, tile_starts, tile_counts, _total, n_active = bin_sort(
         tx0, cx, ty0, cy, ntx=ntx, nty=nty, p_cap=p_cap)
-    # One gather, no zero-row concat and no materialized chunk-tail pad:
-    # stale/tail slots clamp to some real row, which provably cannot affect
-    # any tile's output (duplicate-or-fail-bbox, see binsort_pallas).
-    order = jnp.pad(order, (0, chunk))     # chunk-tail guard slots
-    binned = rows[jnp.minimum(order, rows.shape[0] - 1)]
+    binned = gather_binned(rows, order, chunk)
     return binned, tile_starts, tile_counts, n_active
 
 

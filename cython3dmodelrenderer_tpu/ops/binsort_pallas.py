@@ -179,6 +179,19 @@ def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
     return tile_counts, gchunks
 
 
+def grouped_limits_ok(t: int, slot_cap: int, ntx: int, nty: int) -> bool:
+    """Static-shape budget of the packed grouped binner.
+
+    ``bin_sort_grouped`` packs (triangle, tile) pairs into single int32
+    words (17 bits triangle / 14 bits tile / 6 bits span width); callers
+    must degrade to the un-grouped path (``bin_pairs[_fast]`` + the
+    one-tile kernel, which has no packing budgets) when a workload exceeds
+    these — see ``raster_pallas._stage_b``.
+    """
+    return (t < (1 << 17) and slot_cap < (1 << 17) and ntx <= 63
+            and ntx * nty < (1 << 14))
+
+
 @functools.partial(jax.jit, static_argnames=("ntx", "nty", "slot_cap",
                                              "group", "sub", "interpret"))
 def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,

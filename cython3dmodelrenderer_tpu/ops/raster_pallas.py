@@ -487,19 +487,26 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
     del grid_cap  # grid compaction regressed perf; kept for API stability
 
     if group > 1:
-        from .binsort_pallas import bin_sort_grouped
+        from .binsort_pallas import bin_sort_grouped, grouped_limits_ok
 
+        # Graceful degrade: the packed grouped binner has static bit
+        # budgets (17b triangle / 14b tile / 6b span / 17b slots). A
+        # workload past them — a >131k-triangle mesh, a >4032px-wide
+        # image, or an overflow-recovery capacity grown past 131k slots —
+        # falls back to the un-grouped path (sorted bins + the one-tile
+        # kernel), which is slower but has no packing limits. Without
+        # this, capacity auto-recovery itself could trip an assert.
+        if not grouped_limits_ok(tx0.shape[0], p_cap,
+                                 ntx, -(-nty // group) * group):
+            group = 1
+
+    if group > 1:
         nty_g = -(-nty // group) * group
         order, gstarts, gchunks, tile_counts, total_slots, n_active = \
             bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty_g,
                              slot_cap=p_cap, group=group, sub=chunk // group,
                              interpret=interpret)
-        # One gather, no zero-row concat and no materialized chunk-tail
-        # pad: stale/tail slots clamp to some real row, which provably
-        # cannot affect any tile's output (duplicate-or-fail-bbox
-        # invariant — see binsort_pallas module docstring).
-        order = jnp.pad(order, (0, chunk))   # chunk-tail guard slots
-        binned = rows[jnp.minimum(order, rows.shape[0] - 1)]
+        binned = binning.gather_binned(rows, order, chunk)
         cb, cg, cr, z_img, nx, ny, nz = _raster_tiles_grouped(
             binned, gstarts, gchunks, p_cap, ntx, nty_g,
             tile_h, tile_w, chunk, group, config.z_init, interpret)

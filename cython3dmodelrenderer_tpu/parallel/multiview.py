@@ -98,43 +98,70 @@ def render_turntable(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     return jax.vmap(one)(angles)
 
 
+def _norm_light(light_direction) -> jnp.ndarray:
+    light = -jnp.asarray(light_direction, jnp.float32)
+    return light / jnp.linalg.norm(light)
+
+
+def _render_view_pallas(tri_verts, tri_norms, tri_colors,
+                        config: RenderConfig, p_cap: int, chunk: int,
+                        group: int, interpret: bool, light):
+    """One posed view through the production Pallas pipeline.
+
+    Shared by the single-chip turntable, view-sharded, and triangle-sharded
+    paths so the pipeline glue (tile constants, plane stage, stage_b
+    arguments, shading convention) has exactly one definition. Returns
+    (shaded color, z, normal, cap_used) — ``cap_used`` is the bin-slot
+    demand the static ``p_cap`` must cover (geometry was silently truncated
+    iff ``cap_used > p_cap``).
+    """
+    from ..ops import raster_pallas
+
+    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
+    act = jnp.logical_and(~degenerate, ~backfacing)
+    ts = project_to_screen(tri_verts, config)
+    rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
+        ts, tri_colors, tri_norms, act, config, th, tw)
+    (color, z, normal), _na, used = raster_pallas._stage_b(
+        rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
+        th, tw, chunk, interpret, group)
+    return lambert_shade(color, light=light, n_buffer=normal), z, normal, used
+
+
 @partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
-                                   "group"))
+                                   "group", "check_capacity"))
 def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             tri_colors: jnp.ndarray, angles: jnp.ndarray,
                             config: RenderConfig, p_cap: int,
                             post_shift=(0.0, 0.0, 1.0), chunk: int = 128,
                             light_direction=(0.0, 0.0, 1.0),
                             interpret: bool = False,
-                            group: int = 4) -> jnp.ndarray:
+                            group: int = 4,
+                            check_capacity: bool = False) -> jnp.ndarray:
     """Multi-view render through the Pallas rasterizer (one chip).
 
     Views run sequentially via ``lax.map`` — each view saturates the chip, so
     batching across views buys nothing on a single core, and the Pallas grid
     cannot be vmapped (``program_id`` semantics). ``p_cap`` is the static
-    bin capacity; size it with ``turntable_capacity``.
+    bin capacity; size it with ``turntable_capacity`` (a sampled estimate —
+    pass ``check_capacity=True`` to also get the sweep's true peak bin-slot
+    demand back and assert ``peak <= p_cap`` host-side; an unsampled angle
+    whose demand exceeds the estimate renders with silently truncated
+    geometry otherwise).
     """
-    from ..ops import raster_pallas
-
-    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
-    ntx = -(-config.width // tw)
-    nty = -(-config.height // th)
-    light = -jnp.asarray(light_direction, jnp.float32)
-    light = light / jnp.linalg.norm(light)
+    light = _norm_light(light_direction)
 
     def one(angle3):
         v, n = _pose_triangles(tri_verts, tri_norms, angle3, post_shift)
-        degenerate, backfacing = visibility_masks(v, n)
-        act = jnp.logical_and(~degenerate, ~backfacing)
-        ts = project_to_screen(v, config)
-        rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
-            ts, tri_colors, n, act, config, th, tw)
-        (color, _z, normal), _na, _used = raster_pallas._stage_b(
-            rows, tx0, cx, ty0, cy, counts, config, p_cap, ntx * nty,
-            th, tw, chunk, interpret, group)
-        return lambert_shade(color, light=light, n_buffer=normal)
+        color, _z, _normal, used = _render_view_pallas(
+            v, n, tri_colors, config, p_cap, chunk, group, interpret, light)
+        return color, used
 
-    return jax.lax.map(one, angles)
+    images, used = jax.lax.map(one, angles)
+    if check_capacity:
+        return images, jnp.max(used)
+    return images
 
 
 def turntable_capacity(tri_verts, tri_norms, config: RenderConfig,
@@ -246,7 +273,8 @@ def render_triangle_sharded(tri_verts, tri_norms, tri_colors,
                             bbox_size: int = 64, chunk: int = 512,
                             light_direction=(0.0, 0.0, 1.0),
                             backend: str = "jnp", p_cap: int = None,
-                            interpret: bool = False, group: int = 4):
+                            interpret: bool = False, group: int = 4,
+                            check_capacity: bool = False):
     """Shard triangles across the mesh; merge partial G-buffers by z-argmin.
 
     Each device rasterizes its triangle shard into a full-resolution partial
@@ -259,7 +287,9 @@ def render_triangle_sharded(tri_verts, tri_norms, tri_colors,
     given); depth ties still resolve exactly like the sequential reference,
     because shards hold contiguous triangle ranges — within a shard the
     kernel's rank tiebreak applies, across shards the lower shard index
-    (= lower triangle indices) wins.
+    (= lower triangle indices) wins. ``check_capacity=True`` appends the
+    mesh-max bin-slot demand to the return tuple so callers can assert
+    ``used <= p_cap`` (geometry was silently truncated otherwise).
     """
     t = tri_verts.shape[0]
     n_dev = mesh.shape[axis]
@@ -268,33 +298,21 @@ def render_triangle_sharded(tri_verts, tri_norms, tri_colors,
         p_cap = triangle_shard_capacity(tri_verts, tri_norms, config, mesh,
                                         axis=axis, group=group)
 
-    light = -jnp.asarray(light_direction, jnp.float32)
-    light = light / jnp.linalg.norm(light)
-
-    def _rasterize_shard_pallas(tv, tn, tc):
-        from ..ops import raster_pallas
-
-        th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
-        degenerate, backfacing = visibility_masks(tv, tn)
-        act = jnp.logical_and(~degenerate, ~backfacing)
-        ts = project_to_screen(tv, config)
-        rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
-            ts, tc, tn, act, config, th, tw)
-        (color, z, normal), _na, _used = raster_pallas._stage_b(
-            rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
-            th, tw, 128, interpret, group)
-        return lambert_shade(color, light=light, n_buffer=normal), z, normal
+    light = _norm_light(light_direction)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis)), out_specs=P(),
              check_vma=(backend != "pallas"))
     def shard(tv, tn, tc):
         if backend == "pallas":
-            color, z, normal = _rasterize_shard_pallas(tv, tn, tc)
+            color, z, normal, used = _render_view_pallas(
+                tv, tn, tc, config, p_cap, 128, group, interpret, light)
+            used = jax.lax.pmax(used, axis)
         else:
             color, z, normal = render_view(tv, tn, tc, config,
                                            bbox_size=bbox_size, chunk=chunk,
                                            light_direction=light_direction)
+            used = jnp.int32(0)
         my = jax.lax.axis_index(axis)
         # Exact two-step z-argmin: min depth across shards, then the lowest
         # shard index among exact-depth winners (earlier shards hold lower
@@ -306,6 +324,9 @@ def render_triangle_sharded(tri_verts, tri_norms, tri_colors,
         win = cand & (smin == my)
         color = jax.lax.psum(jnp.where(win[..., None], color, 0.0), axis)
         normal = jax.lax.psum(jnp.where(win[..., None], normal, 0.0), axis)
-        return color, zmin[..., None], normal
+        return color, zmin[..., None], normal, used
 
-    return shard(tri_verts, tri_norms, tri_colors)
+    color, z, normal, used = shard(tri_verts, tri_norms, tri_colors)
+    if check_capacity:
+        return color, z, normal, used
+    return color, z, normal

@@ -123,14 +123,24 @@ class Renderer:
         filler.render_model(model, order=self._order(model),
                             colors_override=colors_override,
                             post=post, light=light)
-        if post == "none":  # custom drawers: generic two-dispatch path
-            shaded_u8 = _cast_u8(self.illumination.apply(
-                filler.get_color_buffer(), filler.get_normals_buffer()))
+        # ONE consistent snapshot: per-getter access could interleave with
+        # an async overflow repair and hand back color/z/normal tensors
+        # from different render generations (a torn frame)
+        snap = getattr(filler, "snapshot_buffers", None)
+        if snap is not None:
+            color, z, normals, post_image = snap()
         else:
-            shaded_u8 = filler.get_post_image()
+            color, z, normals = (filler.get_color_buffer(),
+                                 filler.get_z_buffer(),
+                                 filler.get_normals_buffer())
+            post_image = filler.get_post_image()
+        if post == "none":  # custom drawers: generic two-dispatch path
+            shaded_u8 = _cast_u8(self.illumination.apply(color, normals))
+        else:
+            shaded_u8 = post_image
         self.color_buffer.array = shaded_u8
-        self.z_buffer.array = filler.get_z_buffer()
-        self.n_buffer.array = filler.get_normals_buffer()
+        self.z_buffer.array = z
+        self.n_buffer.array = normals
 
     def _render_wireframe(self, model: Model,
                           colors_override: Optional[jnp.ndarray]) -> None:

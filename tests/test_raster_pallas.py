@@ -350,3 +350,51 @@ def test_binsort_grouped_overflow_clamps_and_unroll_tail():
         got = [order[base + (r // sub) * (group * sub) + r % sub]
                for r in range(tile_counts[tile])]
         assert got == want, f"tile {tile}: {got} != {want}"
+
+
+def test_grouped_degrades_past_packing_limits():
+    """A workload past the packed grouped binner's bit budgets (here: more
+    than 2^17 triangles) must render through the un-grouped fallback
+    instead of tripping an assert — overflow auto-recovery can reach such
+    shapes on its own by growing the capacity bucket."""
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.ops import binning
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+    from cython3dmodelrenderer_tpu.ops.binsort_pallas import grouped_limits_ok
+
+    config = RenderConfig(height=64, width=64, fov=60)
+    t_small = 24
+    tris, colors, normals = random_scene(t=t_small, seed=11)
+    # pad to 2^17 triangles with degenerate (zero-area -> culled) geometry
+    t_big = (1 << 17) + 64
+    pad = t_big - t_small
+    tris_b = np.concatenate(
+        [tris, np.zeros((pad, 3, 3), np.float32) + [0.0, 0.0, 1.0]])
+    colors_b = np.concatenate([colors, np.zeros((pad, 3, 3), np.float32)])
+    normals_b = np.concatenate(
+        [normals, np.tile(np.float32([0, 0, -1]), (pad, 3, 1))])
+
+    tv, tn, tc = (jnp.asarray(tris_b), jnp.asarray(normals_b),
+                  jnp.asarray(colors_b))
+    degenerate, backfacing = visibility_masks(tv, tn)
+    active = ~degenerate & ~backfacing
+    ts = project_to_screen(tv, config)
+    rows, tx0, cx, ty0, cy, counts, total = rp._stage_a(
+        ts, tc, tn, active, config, 8, 64)
+    p_cap = binning.capacity_bucket(int(total), 128)
+    assert not grouped_limits_ok(t_big, p_cap, 1, 8)   # t over budget
+
+    pal, _na, _used = rp._stage_b_jit(
+        rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
+        grid_cap=0, tile_h=8, tile_w=64, chunk=128, interpret=True, group=4)
+
+    ref_ts = project_to_screen(jnp.asarray(tris), config)
+    deg_s, bf_s = visibility_masks(jnp.asarray(tris), jnp.asarray(normals))
+    bbox = raster_ref.required_bbox_size(ref_ts, ~deg_s & ~bf_s, config)
+    ref = raster_ref.rasterize(ref_ts, jnp.asarray(colors),
+                               jnp.asarray(normals), ~deg_s & ~bf_s, config,
+                               bbox_size=bbox, chunk=16)
+    # 3e-3: this seed has 8 triangle-edge pixels where plane-form λ rounds
+    # differently from the oracle's ratio form on CPU (2 on TPU)
+    assert_match(ref, pal, edge_tol=3e-3)

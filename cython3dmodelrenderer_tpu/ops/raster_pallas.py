@@ -414,6 +414,13 @@ def _raster_tiles(binned, tile_starts, tile_counts,
                   tile_h: int, tile_w: int, chunk: int,
                   z_init: float, interpret: bool):
     n_tiles = ntx * nty
+    # Mosaic DMA slices must be 128-aligned in the minor dim, and this
+    # path's chunk starts are NOT 128-row-aligned (per-tile bin offsets),
+    # so it cannot use the grouped path's pre-transposed trimmed layout —
+    # pad the 64-wide plane rows back to a full 128-lane row instead.
+    # (Fallback path only; the extra copy is acceptable.)
+    if binned.shape[1] != 128:
+        binned = jnp.pad(binned, ((0, 0), (0, 128 - binned.shape[1])))
     kernel = _make_kernel(ntx, tile_h, tile_w, chunk, z_init)
     # one packed output: tile (ty, tx) owns a (tile_h, 8*tile_w) stripe block
     # holding [B G R z nx ny nz pad] as lane-stripes; no cross-step hazards
@@ -424,7 +431,7 @@ def _raster_tiles(binned, tile_starts, tile_counts,
         out_specs=pl.BlockSpec((tile_h, 8 * tile_w),
                                lambda i, *_: (i // ntx, i % ntx)),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, _ROW), jnp.float32),
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.float32),
             pltpu.VMEM((binning.N_ATTRS, tile_h, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -441,7 +448,7 @@ def _raster_tiles(binned, tile_starts, tile_counts,
         ),
         cost_estimate=pl.CostEstimate(
             flops=40 * p_cap * tile_h * tile_w,
-            bytes_accessed=p_cap * _ROW * 4
+            bytes_accessed=p_cap * 128 * 4
             + n_tiles * tile_h * tile_w * 32,
             transcendentals=0,
         ),

@@ -94,3 +94,31 @@ def test_determinism_on_device(objects_dir):
     c2, z2 = _render(model, 512, 45, "pallas")
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(z1, z2)
+
+
+def test_ungrouped_fallback_parity_on_device(objects_dir):
+    """The un-grouped (group=1) path on real hardware — it is the degrade
+    target when a workload exceeds the packed grouped binner's bit budgets
+    (binsort_pallas.grouped_limits_ok), so it needs Mosaic-compiled
+    coverage too, not just interpret mode."""
+    path = os.path.join(objects_dir, "cube.obj")
+    if not os.path.exists(path):
+        pytest.skip("cube unavailable")
+    model = _load(path, False)
+
+    def render_with_group(group):
+        filler = AdvancedPixelBufferFiller(256, 256, fov=90,
+                                           backend="pallas")
+        filler._group = group
+        t = model.n_triangles()
+        rng = np.random.RandomState(0)
+        per_tri = rng.randint(256, size=(t, 3)).astype(np.float32)
+        tc = jnp.asarray(np.repeat(per_tri[:, None, :], 3, axis=1))
+        filler.render_model(model, colors_override=tc)
+        return (np.asarray(filler.get_color_buffer()),
+                np.asarray(filler.get_z_buffer()))
+
+    c1, z1 = render_with_group(1)
+    c4, z4 = render_with_group(4)
+    np.testing.assert_array_equal(z1, z4)
+    np.testing.assert_array_equal(c1, c4)

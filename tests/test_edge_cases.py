@@ -89,3 +89,22 @@ def test_empty_obj_model(tmp_path):
                         use_tqdm=False)
     image = renderer.render(model)
     assert image.get_image().max() == 0
+
+
+def test_jnp_backend_refuses_huge_fragment_scene(monkeypatch):
+    """On TPU the jnp fallback must refuse (clear ValueError) scenes whose
+    max triangle bbox would blow its chunk x bbox^2 fragment working set —
+    past that point the fragment grid has OOM-crashed the TPU worker. The
+    guard keys on the default backend; fake it so the CPU suite exercises
+    the refusal."""
+    import jax
+
+    filler = AdvancedPixelBufferFiller(1024, 1024, fov=60, backend="jnp")
+    # one screen-filling triangle -> bbox ~ full resolution
+    tris = jnp.asarray([[[-50.0, -50.0, 2.0], [50.0, -50.0, 2.0],
+                         [0.0, 80.0, 2.0]]], jnp.float32)
+    normals = jnp.asarray([[[0.0, 0.0, -1.0]] * 3], jnp.float32)
+    colors = jnp.full((1, 3, 3), 200.0, jnp.float32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="fragment budget"):
+        filler._rasterize(tris, normals, colors)

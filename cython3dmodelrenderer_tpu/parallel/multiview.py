@@ -171,24 +171,76 @@ def turntable_capacity(tri_verts, tri_norms, config: RenderConfig,
 
     Samples bin-slot demand at ``n_samples`` angles, applies ``headroom``.
     """
+    return sequence_capacity(tri_verts, tri_norms,
+                             turntable_angles(n_samples), None, config,
+                             headroom=headroom, post_shift=post_shift,
+                             group=group)
+
+
+def sequence_capacity(tri_verts, tri_norms, angles, shifts,
+                      config: RenderConfig, headroom: float = 1.5,
+                      post_shift=(0.0, 0.0, 1.0), group: int = 4) -> int:
+    """Static bin capacity covering a pose sequence (one host sync).
+
+    Evaluates bin-slot demand at every given pose (``shifts=None`` → the
+    fixed ``post_shift``), takes the peak, applies ``headroom``.
+    """
     from ..ops import binning, raster_pallas
 
-    angles = turntable_angles(n_samples)
+    if shifts is None:
+        shifts = jnp.broadcast_to(jnp.asarray(post_shift, jnp.float32),
+                                  (angles.shape[0], 3))
 
-    @partial(jax.jit, static_argnames=())
-    def totals(tv, tn, ang):
-        def one(angle3):
-            v, n = _pose_triangles(tv, tn, angle3, post_shift)
+    @jax.jit
+    def totals(tv, tn, ang, shf):
+        def one(pose):
+            angle3, shift3 = pose
+            v, n = _pose_triangles(tv, tn, angle3, shift3)
             degenerate, backfacing = visibility_masks(v, n)
             act = jnp.logical_and(~degenerate, ~backfacing)
             ts = project_to_screen(v, config)
             return raster_pallas.grouped_slot_total(ts, act, config,
                                                     group=group)
 
-        return jnp.max(jax.lax.map(one, ang))
+        return jnp.max(jax.lax.map(one, (ang, shf)))
 
-    peak = int(totals(tri_verts, tri_norms, angles))
+    peak = int(totals(tri_verts, tri_norms, angles, shifts))
     return binning.capacity_bucket(int(peak * headroom), 128)
+
+
+@partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
+                                   "group", "check_capacity"))
+def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
+                           tri_colors: jnp.ndarray, angles: jnp.ndarray,
+                           shifts: jnp.ndarray, config: RenderConfig,
+                           p_cap: int, chunk: int = 128,
+                           light_direction=(0.0, 0.0, 1.0),
+                           interpret: bool = False, group: int = 4,
+                           check_capacity: bool = False) -> jnp.ndarray:
+    """Arbitrary pose-sequence animation as ONE dispatch (one chip).
+
+    The general form of ``render_turntable_pallas``: each frame i rotates
+    the model by ``angles[i]`` (Euler XYZ degrees, the reference's
+    convention) and translates by ``shifts[i]``, so a whole camera path /
+    animation renders as a single jitted ``lax.map`` sweep — per-dispatch
+    overhead (dominant on remote-tunneled devices) is paid once for N
+    frames. Size ``p_cap`` with ``sequence_capacity``; pass
+    ``check_capacity=True`` to get the sweep's true peak bin demand back.
+    Returns (N, H, W, 3) shaded color images.
+    """
+    light = _norm_light(light_direction)
+
+    def one(pose):
+        angle3, shift3 = pose
+        v, n = _pose_triangles(tri_verts, tri_norms, angle3, shift3)
+        color, _z, _normal, used = _render_view_pallas(
+            v, n, tri_colors, config, p_cap, chunk, group, interpret, light)
+        return color, used
+
+    images, used = jax.lax.map(one, (angles, shifts))
+    if check_capacity:
+        return images, jnp.max(used)
+    return images
 
 
 # --------------------------------------------------------------------------

@@ -138,3 +138,31 @@ def test_triangle_sharded_pallas_backend_matches_jnp():
              > 0.5).mean()
     assert cfrac < 1e-3, cfrac
     assert np.asarray(color_p).max() > 0
+
+
+def test_render_sequence_pallas_generalizes_turntable():
+    """The pose-sequence single-dispatch API: with constant shifts it must
+    equal the turntable sweep exactly; with varying shifts each frame gets
+    its own translation (frames differ)."""
+    tv, tn, tc = tiny_scene(t=24, seed=9)
+    angles = multiview.turntable_angles(4)
+    p_cap = multiview.sequence_capacity(tv, tn, angles, None, CONFIG)
+
+    tt = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, CONFIG, p_cap=p_cap, interpret=True))
+    const_shifts = jnp.broadcast_to(jnp.float32([0.0, 0.0, 1.0]), (4, 3))
+    seq, used = multiview.render_sequence_pallas(
+        tv, tn, tc, angles, const_shifts, CONFIG, p_cap=p_cap,
+        interpret=True, check_capacity=True)
+    np.testing.assert_array_equal(np.asarray(seq), tt)
+    assert int(used) <= p_cap
+
+    shifts = jnp.asarray([[0.0, 0.0, 1.0 + 0.5 * i] for i in range(4)],
+                         jnp.float32)
+    p_cap2 = multiview.sequence_capacity(tv, tn, angles, shifts, CONFIG)
+    seq2 = np.asarray(multiview.render_sequence_pallas(
+        tv, tn, tc, angles, shifts, CONFIG, p_cap=p_cap2, interpret=True))
+    assert seq2.shape == tt.shape
+    # receding frames shrink: covered pixel count strictly decreases
+    covered = [(f.max(-1) > 0).sum() for f in seq2]
+    assert covered[0] > covered[-1] > 0

@@ -54,13 +54,15 @@ _ATTR0 = binning.IDX_ATTRS
 # these rows (~45% less chunk traffic than the full 64-row block).
 _ROWS_USED = binning.IDX_ATTRS + 3 * binning.N_ATTRS
 
-# default raster tile: 8 sublanes x 64 px. Narrower than the 128-lane
-# register tile on purpose — the lane dimension carries bin candidates,
-# not pixels, and 8x64 measured fastest (see PERF_NOTES "Config
-# sensitivities"). Callers that size capacity (grouped_slot_total) and
-# dispatch (render_frame) MUST use the same tile.
-TILE_H = 8
-TILE_W = 64
+# default raster tile: 16 x 32 px (512-px area, like 8x64, but squarer).
+# Narrow tiles on purpose — the lane dimension carries bin candidates,
+# not pixels, so per-candidate pixel work scales with tile area; the
+# squarer shape measured fastest on the bench matrix (T-Rex -4%, igor
+# -1.6% vs 8x64; see PERF_NOTES "Config sensitivities"). Callers that
+# size capacity (grouped_slot_total) and dispatch (render_frame) MUST
+# use the same tile.
+TILE_H = 16
+TILE_W = 32
 
 
 def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,

@@ -544,6 +544,10 @@ class EdgeOnlyPixelBufferFiller(PixelBufferFiller):
                     jnp.asarray(self.line_color, jnp.float32),
                     (t * 3, np.size(self.line_color)))
             active = jnp.ones((t * 3,), bool)
+            # rasterize_lines clips each line to the viewport before
+            # stepping (phase-preserving), so this only needs to cover the
+            # ≤ max(h, w)+1 on-screen steps — endpoints arbitrarily far
+            # off-screen still draw their visible segment exactly
             max_steps = 2 * max(h, w)
             return wireframe.rasterize_lines(color_arr, starts, ends,
                                              line_colors, active, h, w,

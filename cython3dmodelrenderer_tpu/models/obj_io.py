@@ -121,9 +121,8 @@ def read_material_file(filename: str, origin: str) -> Optional[str]:
                 if command == "map_Kd":
                     image_filename = data
     except Exception as e:  # lenient, like the reference (model.py:107-112)
-        print(f"Error occurred while parsing material file of object file '{origin}':")
-        print(e)
-        print("Material info will be ignored")
+        print(f"warning: could not parse material file for '{origin}': {e}")
+        print("warning: rendering untextured (material ignored)")
     return image_filename
 
 
@@ -195,8 +194,8 @@ def _load_obj_python(filename: str, silent: bool = True,
             except Exception as e:
                 if not silent:
                     raise RuntimeError(
-                        f'Error occurred while parsing line #{line_index + 1} '
-                        f'of "{filename}"') from e
+                        f'malformed OBJ line {line_index + 1} in '
+                        f'"{filename}"') from e
 
     return _finalize(vertices, texture_coords, normals,
                      faces_v, faces_vt, faces_vn, texture)

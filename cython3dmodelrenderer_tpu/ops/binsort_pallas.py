@@ -261,6 +261,10 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
         return jax.lax.cummax(zeros.at[startpos].set(vals, mode="drop"))
 
     a_p = ffill((off << 6) | cx)                 # [0:6] cx, [6:] run start
+    # NOTE: (tri << 14) | tile reaches exactly INT32_MAX at the asserted
+    # limits (tri = 2^17-1, tile = 2^14-1) — ZERO headroom. Widening either
+    # the 17b triangle or 14b tile budget overflows int32 to negative and
+    # silently breaks the cummax fill-forward; re-derive the bound first.
     b_p = ffill((tri_ids << 14) | (ty0 * ntx + tx0))   # [0:14] base tile
     k = jnp.arange(slot_cap, dtype=jnp.int32) - (a_p >> 6)  # rank in run
     cx_p = a_p & 63
@@ -270,8 +274,9 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
     pairs = ((b_p >> 14) << 14) | tile_p         # [0:14] tile, [14:] triangle
     # tail past the true pair count → sentinel pairs targeting the virtual
     # tile n_tiles (bound 0, never stored); lets the kernel's unrolled loop
-    # overrun the count by up to unroll-1 slots safely (slot_cap % 4 == 0,
-    # so the overrun never leaves the pairs array)
+    # overrun the count by up to unroll-1 slots safely (slot_cap % 128 == 0
+    # is asserted above and unroll is 8, so the overrun never leaves the
+    # pairs array)
     idx = jnp.arange(slot_cap, dtype=jnp.int32)
     pairs = jnp.where(idx < n_pairs, pairs, jnp.int32(n_tiles))
 

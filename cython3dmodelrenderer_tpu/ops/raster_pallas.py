@@ -4,7 +4,7 @@ This is the production backend replacing the reference's OpenMP scanline loop
 with per-pixel locks (``crender/cy/.../advanced_pixel_buffer_filler.pyx:
 177-242``). Design:
 
-* the image is a grid of VPU-aligned tiles (default 8×64 — narrower than
+* the image is a grid of VPU-aligned tiles (default 16×32 — narrower than
   the 128-lane register tile: per-candidate pixel work dominates, and the
   lane dimension is filled by candidates, not pixels); each Pallas grid
   step owns one tile — no two steps ever write the same pixel, so the
@@ -500,8 +500,9 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
 
         # Graceful degrade: the packed grouped binner has static bit
         # budgets (17b triangle / 14b tile / 6b span / 17b slots). A
-        # workload past them — a >131k-triangle mesh, a >4032px-wide
-        # image, or an overflow-recovery capacity grown past 131k slots —
+        # workload past them — a >131k-triangle mesh, an image wider than
+        # 63 tiles (63·tile_w px; 2016 px at the default tile_w=32), or an
+        # overflow-recovery capacity grown past 131k slots —
         # falls back to the un-grouped path (sorted bins + the one-tile
         # kernel), which is slower but has no packing limits. Without
         # this, capacity auto-recovery itself could trip an assert.

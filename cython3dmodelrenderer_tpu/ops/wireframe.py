@@ -35,6 +35,22 @@ def _line_params(p1: jnp.ndarray, p2: jnp.ndarray):
     return sign, el, es, major_is_x
 
 
+def _floordiv_exact(num_f: jnp.ndarray, num_i: jnp.ndarray,
+                    den: jnp.ndarray) -> jnp.ndarray:
+    """Exact ``floor(num / den)`` where ``num`` may overflow int32.
+
+    ``num_f`` is the numerator in float32 (approximate), ``num_i`` the same
+    numerator computed with WRAPPING int32 arithmetic (exact mod 2^32), and
+    ``den > 0`` a true int32. The float estimate lands within a few quotient
+    units of the truth, so the residual ``num − den·q̂`` is small enough to
+    be exact under two's-complement wraparound — one small floor-division
+    corrects the estimate exactly.
+    """
+    qhat = jnp.floor(num_f / den.astype(jnp.float32)).astype(jnp.int32)
+    resid = num_i - den * qhat            # wraps; exact because it is small
+    return qhat + jnp.floor_divide(resid, den)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "max_steps"))
 def rasterize_lines(color: jnp.ndarray,
                     p1: jnp.ndarray, p2: jnp.ndarray,
@@ -49,8 +65,13 @@ def rasterize_lines(color: jnp.ndarray,
       p1, p2: (L, 2) int32 endpoints (x, y).
       line_colors: (L, C) per-line colors.
       active: (L,) bool.
-      max_steps: static bound on pixels per line; longer lines are truncated
-        (off-screen pixels are dropped anyway, reference buffer.py:66-69).
+      max_steps: static bound on ON-SCREEN pixels per line; must be
+        ≥ max(height, width) + 1. Lines are parametrically clipped to the
+        viewport before stepping (phase-preserving: the step counter still
+        runs from the original ``p1``), so endpoints arbitrarily far
+        off-screen draw their visible segment exactly like the reference's
+        per-pixel bounds-dropping walk (line_bresenham.py:6-45,
+        buffer.py:66-69).
 
     Line index is the overwrite priority: the highest-index line covering a
     pixel wins, matching the reference's sequential draw order.
@@ -61,12 +82,47 @@ def rasterize_lines(color: jnp.ndarray,
 
     sign, el, es, major_is_x = _line_params(p1, p2)
     el_safe = jnp.maximum(el, 1)
+    es_f = es.astype(jnp.float32)
+    el_f = el.astype(jnp.float32)
 
-    t = jax.lax.broadcasted_iota(jnp.int32, (l, max_steps), 1)
+    # --- viewport clip: first step t0 whose pixel can be on-screen --------
+    # Major axis advances exactly 1 per step and the minor axis is
+    # nondecreasing, so the visible steps form one contiguous t-window of
+    # length ≤ max(h, w); enumerating max_steps steps from t0 covers it.
+    maj1 = jnp.where(major_is_x, p1[:, 0], p1[:, 1])
+    min1 = jnp.where(major_is_x, p1[:, 1], p1[:, 0])
+    smaj = jnp.where(major_is_x, sign[:, 0], sign[:, 1])
+    smin = jnp.where(major_is_x, sign[:, 1], sign[:, 0])
+    mmaj = jnp.where(major_is_x, width, height)
+    mmin = jnp.where(major_is_x, height, width)
+
+    t_maj = jnp.maximum(jnp.where(smaj > 0, -maj1,
+                                  jnp.where(smaj < 0, maj1 - (mmaj - 1), 0)),
+                        0)
+    # minor axis must advance by at least k before entering the viewport
+    k = jnp.maximum(jnp.where(smin > 0, -min1,
+                              jnp.where(smin < 0, min1 - (mmin - 1), 0)), 0)
+    # smallest t with m(t) ≥ k  ⇔  t ≥ ceil((2·el·k − el + 1) / (2·es))
+    kf = k.astype(jnp.float32)
+    es_safe = jnp.maximum(es, 1)
+    num_f = 2.0 * el_f * kf - el_f + 1.0 + (2.0 * es_f - 1.0)  # ceil → floor
+    num_i = 2 * el * k - el + 1 + (2 * es - 1)
+    t_min = _floordiv_exact(num_f, num_i, 2 * es_safe)
+    # es == 0 with k > 0: the minor axis never advances → nothing visible
+    t_min = jnp.where(k > 0, jnp.where(es > 0, t_min, el + 1), 0)
+    # t0 beyond el ⇒ no visible pixel; clamping to el is safe (that step
+    # fails the on-screen test by construction)
+    t0 = jnp.clip(jnp.maximum(t_maj, t_min), 0, el)
+
+    t = t0[:, None] + jax.lax.broadcasted_iota(jnp.int32, (l, max_steps), 1)
     step_ok = t <= el[:, None]
-    # minor-axis advance after t steps (closed-form Bresenham, see module doc)
-    m = jnp.floor_divide(2 * es[:, None] * t + el_safe[:, None] - 1,
-                         2 * el_safe[:, None])
+    # minor-axis advance after t steps (closed-form Bresenham, see module
+    # doc); 2·es·t can exceed int32 for far off-screen endpoints, so use the
+    # float-estimate + wrapped-residual exact division
+    m = _floordiv_exact(
+        2.0 * es_f[:, None] * t.astype(jnp.float32) + (el_f - 1.0)[:, None],
+        2 * es[:, None] * t + (el - 1)[:, None],
+        2 * el_safe[:, None])
     m = jnp.where(t == 0, 0, m)
 
     dmaj = t

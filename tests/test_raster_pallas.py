@@ -70,17 +70,15 @@ def test_determinism():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_capacity_overflow_retry():
-    """Filler grows its pair-capacity bucket when the scene grows."""
-    import jax
+def test_capacity_bucket_monotonic():
+    """capacity_bucket grows with demand, keeps alignment and headroom.
 
-    from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+    (The actual overflow-and-re-render behavior is covered by
+    ``test_overflow_auto_recovery`` and
+    ``test_overflow_lazy_drain_repairs_growing_sweep`` below.)
+    """
     from cython3dmodelrenderer_tpu.ops import binning
 
-    config = RenderConfig(height=64, width=64, fov=60)
-    tris, colors, normals = random_scene(t=8, seed=7)
-    filler = AdvancedPixelBufferFiller(64, 64, fov=60, backend="jnp")
-    # exercise capacity_bucket monotonicity directly (host-level logic)
     small = binning.capacity_bucket(10, 128)
     big = binning.capacity_bucket(100000, 128)
     assert small < big and small % 4096 == 0 and big >= 100000 + 128

@@ -153,6 +153,39 @@ def test_wireframe_matches_scalar_bresenham():
                                       err_msg=f"line {p1} -> {p2}")
 
 
+def test_wireframe_far_offscreen_endpoints():
+    """Lines with endpoints thousands of pixels off-screen draw their
+    visible segment exactly like the scalar per-pixel walk.
+
+    The reference steps every pixel and bounds-drops each one
+    (line_bresenham.py:6-45, buffer.py:66-69); the batched path must match
+    it via phase-preserving viewport clipping, not truncate at a step
+    budget."""
+    from cython3dmodelrenderer_tpu.ops import wireframe
+
+    h = w = 48
+    cases = [
+        ((-10000, 20), (10000, 30)),     # near-horizontal, both far out
+        ((25, -9000), (20, 9000)),       # near-vertical
+        ((-8000, -7990), (8000, 8010)),  # diagonal
+        ((-12000, -300), (12000, 400)),  # shallow slope crossing
+        ((5, 5), (20000, 5011)),         # one endpoint far out
+        ((-5000, 100), (-4000, 90)),     # fully off-screen → empty
+        ((2, 3), (2, 3)),                # degenerate point, on-screen
+    ]
+    for p1, p2 in cases:
+        buf = Buffer(h, w, dim=3, dtype="float32")
+        LineBresenham().draw_line(list(p1), list(p2), buf, [255.0, 0.0, 0.0])
+        want = buf.get_image()
+        img = jnp.zeros((h, w, 3), jnp.float32)
+        got = np.asarray(wireframe.rasterize_lines(
+            img, jnp.asarray([p1], jnp.int32), jnp.asarray([p2], jnp.int32),
+            jnp.asarray([[255.0, 0.0, 0.0]]), jnp.ones((1,), bool),
+            h, w, max_steps=2 * max(h, w)))
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"line {p1} -> {p2}")
+
+
 def test_edge_only_filler_batched(cube_path):
     model = Model.read_model(cube_path)
     filler = EdgeOnlyPixelBufferFiller(LineBresenham(), np.array([255, 255, 255]))

@@ -67,13 +67,15 @@ def _time_frames(fn, n_warm=3, n_iter=100, n_trials=3):
     return best
 
 
-def _bench_single(model, size, fov, illum, metric, vs_baseline=None):
+def _bench_single(model, size, fov, illum, metric, vs_baseline=None,
+                  fast_shade=False):
     import jax.numpy as jnp
 
     from cython3dmodelrenderer_tpu import (AdvancedPixelBufferFiller,
                                            GuroIllumination, NoIllumination)
 
-    filler = AdvancedPixelBufferFiller(size, size, fov=fov)
+    filler = AdvancedPixelBufferFiller(size, size, fov=fov,
+                                       fast_shade=fast_shade)
     tv = model.vertices_by_triangles
     tn = model.normals_by_triangles
     tc = model.colors_by_triangles
@@ -130,6 +132,15 @@ def bench_igor():
                                 "1024x1024 ms/frame (textured + Lambert)")
 
 
+def bench_fast():
+    """Opt-in fast-shade (Gouraud) mode — 3 attr channels, shaded image
+    only; z-buffer bit-identical to the exact mode."""
+    return _bench_single(_posed("T-Rex.obj"), 1024, 45, illum=True,
+                         metric="T-Rex.obj 1024x1024 ms/frame "
+                                "(fast-shade Gouraud mode, opt-in)",
+                         vs_baseline=BASELINE_MS, fast_shade=True)
+
+
 def bench_turntable():
     import jax
     import jax.numpy as jnp
@@ -168,7 +179,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="trex",
                         choices=["trex", "cube", "bunny", "igor",
-                                 "turntable", "all"])
+                                 "turntable", "fast", "all"])
     args = parser.parse_args()
     benches = {
         "trex": bench_trex,
@@ -176,6 +187,7 @@ def main():
         "bunny": bench_bunny,
         "igor": bench_igor,
         "turntable": bench_turntable,
+        "fast": bench_fast,
     }
     names = list(benches) if args.config == "all" else [args.config]
     for name in names:

@@ -102,13 +102,19 @@ def plane_data(tris_screen: jnp.ndarray, active: jnp.ndarray,
             prio.astype(jnp.float32)]
 
     if colors is not None:
-        vals = jnp.concatenate([colors, normals], axis=2)  # (T, 3, 6)
-        v0, v1, v2 = vals[:, 0], vals[:, 1], vals[:, 2]    # (T, 6)
+        # normals=None → fast-shade mode: only the 3 (pre-shaded) color
+        # channels get attribute planes; the kernel runs with n_attrs=3
+        if normals is None:
+            vals = colors                                  # (T, 3, 3)
+        else:
+            vals = jnp.concatenate([colors, normals], axis=2)  # (T, 3, 6)
+        n_ch = vals.shape[2]
+        v0, v1, v2 = vals[:, 0], vals[:, 1], vals[:, 2]    # (T, n_ch)
         acoef = a0[:, None] * v0 + a1[:, None] * v1 + a2[:, None] * v2
         bcoef = b0[:, None] * v0 + b1[:, None] * v1 + b2[:, None] * v2
         ccoef = c0[:, None] * v0 + c1[:, None] * v1 + c2[:, None] * v2
-        packed = jnp.stack([acoef, bcoef, ccoef], axis=2)  # (T, 6, 3)
-        cols += [packed[:, ch, k] for ch in range(N_ATTRS) for k in range(3)]
+        packed = jnp.stack([acoef, bcoef, ccoef], axis=2)  # (T, n_ch, 3)
+        cols += [packed[:, ch, k] for ch in range(n_ch) for k in range(3)]
 
     cols += [jnp.zeros_like(a0)] * (ROW_WIDTH - len(cols))
     rows = jnp.stack(cols, axis=1)

@@ -24,9 +24,12 @@ with per-pixel locks (``crender/cy/.../advanced_pixel_buffer_filler.pyx:
   no post-pass and no XLA gather anywhere;
 * two kernel variants: one tile per grid step (``_make_kernel``), and the
   default grouped variant (``_make_kernel_grouped``) packing ``group=4``
-  vertically-stacked tiles into each 128-lane chunk as 32-lane stripes, with
-  a fused segmented tuple-argmin (masked-roll windowed doubling) and
-  cross-group DMA pipelining via a persistent SMEM chunk cursor;
+  COUNT-SORTED tiles into each 128-lane chunk as 32-lane stripes (balanced
+  stripes: a group's chunk count ≈ its mean tile's demand, not its worst
+  neighbor's), with a lane-local running argmin, one segmented epilogue
+  reduction, cross-group input-DMA pipelining via a persistent SMEM chunk
+  cursor, and manual double-buffered output DMA to each tile's image
+  position over a background pre-filled by input-output aliasing;
 * triangle data streams HBM→VMEM with double-buffered async DMA;
 * the steady-state frame is ONE jitted dispatch (``render_frame``) with a
   cached static bin capacity — no per-frame host syncs (a periodic lazy
@@ -49,10 +52,21 @@ from . import binning
 _ROW = binning.ROW_WIDTH
 _ATTR0 = binning.IDX_ATTRS
 # rows actually carrying data: 12 plane coeffs + 4 bbox + 1 priority +
-# 3*N_ATTRS attribute-plane coeffs; the rest of the 64-wide row is zero
+# 3*n_attrs attribute-plane coeffs; the rest of the 64-wide row is zero
 # padding. The grouped kernel's pre-transposed layout trims the DMA to
-# these rows (~45% less chunk traffic than the full 64-row block).
-_ROWS_USED = binning.IDX_ATTRS + 3 * binning.N_ATTRS
+# these rows (~45% less chunk traffic than the full 64-row block; fast-
+# shade mode carries 3 attr channels instead of 6, trimming further).
+def _rows_used(n_attrs: int) -> int:
+    return binning.IDX_ATTRS + 3 * n_attrs
+
+
+_ROWS_USED = _rows_used(binning.N_ATTRS)
+
+
+def _out_stripes(n_attrs: int) -> int:
+    # packed G-buffer lane-stripes per tile: [B G R z nx ny nz pad] exact,
+    # [B G R z] fast-shade (halves the output block traffic)
+    return 4 if n_attrs == 3 else 8
 
 # default raster tile: 16 x 32 px (512-px area, like 8x64, but squarer).
 # Narrow tiles on purpose — the lane dimension carries bin candidates,
@@ -66,7 +80,9 @@ TILE_W = 32
 
 
 def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
-                 z_init: float):
+                 z_init: float, n_attrs: int = binning.N_ATTRS):
+    n_out = _out_stripes(n_attrs)
+
     def kernel(starts_ref, counts_ref, binned_ref,
                out_ref,
                buf, zacc, attracc, sems):
@@ -84,7 +100,7 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
         # path: write the constant background block and skip all setup —
         # the full epilogue costs ~1.4 us/tile in relayouts otherwise.
         zstripe = jax.lax.broadcasted_iota(
-            jnp.int32, (tile_h, 8 * tile_w), 1) // tile_w == 3
+            jnp.int32, (tile_h, n_out * tile_w), 1) // tile_w == 3
         bg_block = jnp.where(zstripe, jnp.float32(z_init), 0.0)
 
         @pl.when(count == 0)
@@ -175,7 +191,7 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
             better = zmin[..., 0] < zacc[:]             # (TH, TW)
             # Accumulate the chunk winner's interpolated attribute values
             # (where, not multiply: loser lanes may hold inf/NaN planes).
-            for ch in range(binning.N_ATTRS):
+            for ch in range(n_attrs):
                 v = plane(_ATTR0 + 3 * ch)
                 vwin = jnp.sum(jnp.where(winmask, v, 0.0), axis=2)
                 attracc[ch] = jnp.where(better, vwin, attracc[ch])
@@ -190,24 +206,38 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
         def chan(ch):
             return jnp.where(has, attracc[ch], 0.0)
 
-        # Single packed G-buffer write: the 7 channels live as lane-stripes
-        # of one (tile_h, 8*tile_w) block — one output DMA per grid step.
+        # Single packed G-buffer write: the channels live as lane-stripes
+        # of one (tile_h, n_out*tile_w) block — one output DMA per grid step.
         zplane = jnp.where(has, zfin, jnp.float32(z_init))
-        planes = [chan(0), chan(1), chan(2), zplane,
-                  chan(3), chan(4), chan(5), jnp.zeros_like(zplane)]
+        planes = [chan(0), chan(1), chan(2), zplane]
+        if n_attrs == binning.N_ATTRS:
+            planes += [chan(3), chan(4), chan(5), jnp.zeros_like(zplane)]
         out_ref[:] = jnp.concatenate(planes, axis=1)
 
     return kernel
 
 
 def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
-                         group: int, z_init: float):
-    """Grouped kernel: one grid step = ``group`` vertically-stacked tiles.
+                         group: int, z_init: float,
+                         n_attrs: int = binning.N_ATTRS):
+    """Grouped kernel: one grid step = ``group`` COUNT-SORTED tiles.
 
     Chunks interleave the tiles as 32-lane stripes (see
     ``binsort_pallas.bin_sort_grouped``), so sparse tiles share their
     chunk's lanes with denser neighbors — ~2-3x fewer chunk iterations than
-    one-tile-per-step on typical scenes.
+    one-tile-per-step on typical scenes. Group membership follows the
+    binner's count-sorted composition (``stids``): each stripe's tile id —
+    hence its pixel-coordinate bases AND its output position — is data read
+    via scalar prefetch. Output placement is MANUAL double-buffered DMA
+    from VMEM block scratch to the tile's image position (a data-dependent
+    output *index_map* would defeat Mosaic's output pipelining — the
+    measured 12x-slower compacted-grid dead end — and an XLA-side block
+    permutation costs a measured 0.55 ms of per-block gather overhead;
+    per-stripe DMAs issue from the scalar core while the VPU crunches the
+    next group's chunks, so they hide). The output buffer arrives PRE-
+    FILLED with the background via input-output aliasing, so empty tiles
+    and empty groups write NOTHING — with count-sorted composition the
+    ~2/3 of groups that are empty skip even the epilogue.
 
     Depth resolve is a LANE-LOCAL running minimum in the chunk loop (plain
     compare+selects — the hot path has no cross-lane traffic at all) with
@@ -222,14 +252,16 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
     """
     sub = chunk // group
     gh = group * tile_h
+    n_out = _out_stripes(n_attrs)
 
-    def kernel(gstarts_ref, gchunks_ref, binned_ref, out_ref,
-               buf, zacc, racc, attracc, sems, pref):
+    def kernel(gstarts_ref, gchunks_ref, stids_ref, sstripes_ref,
+               binned_ref, bg_ref, out_ref,
+               buf, zacc, racc, attracc, obuf, sems, osems, pref):
+        del bg_ref  # aliased to out_ref: pre-filled background
         i = pl.program_id(0)
+        n = pl.num_programs(0)
         start = gstarts_ref[i]
         nchunks = gchunks_ref[i]
-        tx = i % ntx
-        gy = i // ntx
 
         # pref (SMEM, persists across grid steps): highest chunk id whose
         # DMA has been issued — group bins are contiguous AND 128-aligned,
@@ -239,22 +271,56 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         def _():
             pref[0] = -1
 
-        zstripe = jax.lax.broadcasted_iota(
-            jnp.int32, (gh, 8 * tile_w), 1) // tile_w == 3
-        bg_block = jnp.where(zstripe, jnp.float32(z_init), 0.0)
+        def out_dma(j, s):
+            # output copy descriptor of group j's stripe s: VMEM block →
+            # the stripe's tile position in the image-ordered G-buffer
+            tid = stids_ref[group * j + s]
+            ty = tid // ntx
+            tx = tid % ntx
+            return pltpu.make_async_copy(
+                obuf.at[j % 2, s],
+                out_ref.at[pl.ds(ty * tile_h, tile_h),
+                           pl.ds(tx * (n_out * tile_w), n_out * tile_w)],
+                osems.at[j % 2, s])
 
-        @pl.when(nchunks == 0)
+        def issued(j, jc, s):
+            # group j issued stripe s's DMA iff the stripe is non-empty AND
+            # the group kept chunks after capacity clamping (an overflow-
+            # clamped group computes nothing — waiting for it would hang)
+            return ((gchunks_ref[jc] > 0) &
+                    (sstripes_ref[group * jc + s] > 0) & (j >= 0))
+
+        # drain this slot's previous DMAs (issued at group i-2) before the
+        # epilogue rewrites the block scratch — runs on EVERY grid step so
+        # slot reuse is safe across empty groups too
+        @pl.when(i >= 2)
         def _():
-            out_ref[:] = bg_block
+            for s in range(group):
+                @pl.when(issued(i - 2, i - 2, s))
+                def _(s=s):
+                    out_dma(i - 2, s).wait()
 
         @pl.when(nchunks > 0)
         def _():
-            _raster_group(start, nchunks, tx, gy, binned_ref, out_ref,
-                          buf, zacc, racc, attracc, sems, pref,
-                          gstarts_ref[pl.num_programs(0)] // chunk)
+            _raster_group(start, nchunks, i, stids_ref, sstripes_ref,
+                          binned_ref, out_dma, buf, zacc, racc, attracc,
+                          obuf, sems, pref,
+                          gstarts_ref[n] // chunk)
 
-    def _raster_group(start, nchunks, tx, gy, binned_ref, out_ref,
-                      buf, zacc, racc, attracc, sems, pref, total_chunks):
+        # final drain: the last two groups' DMAs have no reuse step
+        @pl.when(i == n - 1)
+        def _():
+            for j_off in (1, 0):
+                j = i - j_off
+                jc = jnp.maximum(j, 0)
+                for s in range(group):
+                    @pl.when(issued(j, jc, s))
+                    def _(j=j, jc=jc, s=s):
+                        out_dma(jc, s).wait()
+
+    def _raster_group(start, nchunks, i, stids_ref, sstripes_ref,
+                      binned_ref, out_dma, buf, zacc, racc, attracc,
+                      obuf, sems, pref, total_chunks):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
         seg = lane // sub
         # bin rank within the stripe's lane position: rank = j*sub + lane%sub
@@ -263,10 +329,17 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         rk0 = (lane % sub).astype(jnp.float32)             # (1, 1, K)
         ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, 1), 1)
         iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0)
-        pxf = (tx * tile_w + ix).astype(jnp.float32)       # (TH, TW, 1)
-        # per-lane y offset: lane's stripe s covers image rows of tile
-        # gy*group + s
-        pyf = (gy * gh + seg * tile_h + iy).astype(jnp.float32)  # (TH, 1, K)
+        # per-lane pixel-coordinate bases: stripe s rasterizes tile
+        # stids[group*i + s] (count-sorted composition), so the tile origin
+        # is DATA — a handful of scalar reads + selects per group
+        txv = jnp.zeros_like(seg)
+        tyv = jnp.zeros_like(seg)
+        for s in range(group):
+            tid = stids_ref[group * i + s]
+            txv = jnp.where(seg == s, tid % ntx, txv)
+            tyv = jnp.where(seg == s, tid // ntx, tyv)
+        pxf = (txv * tile_w + ix).astype(jnp.float32)      # (TH, TW, K)
+        pyf = (tyv * tile_h + iy).astype(jnp.float32)      # (TH, 1, K)
 
         zacc[:] = jnp.full((tile_h, tile_w, chunk), jnp.inf, jnp.float32)
         racc[:] = jnp.zeros((tile_h, tile_w, chunk), jnp.float32)
@@ -329,7 +402,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             # the epilogue. NaN guard: loser lanes may hold NaN attr planes
             # but their zc is +inf, so they never become `better`.
             better = zc < zacc[:]                        # (TH, TW, K)
-            for ch in range(binning.N_ATTRS):
+            for ch in range(n_attrs):
                 attracc[ch] = jnp.where(better, plane(_ATTR0 + 3 * ch),
                                         attracc[ch])
             racc[:] = jnp.where(better, rk0 + jnp.float32(sub) * j, racc[:])
@@ -338,9 +411,10 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
 
         jax.lax.fori_loop(0, nchunks, body, 0)
 
-        # Segmented cross-lane argmin per stripe, then stack the group's
-        # tiles vertically into the packed output block. Exact z ties break
-        # by minimum rank = sequential first-writer order.
+        # Segmented cross-lane argmin per stripe; each finished tile block
+        # DMAs straight to its image position (empty stripes skip — the
+        # aliased background already covers them). Exact z ties break by
+        # minimum rank = sequential first-writer order.
         zfin = zacc[:]
         rfin = racc[:]
 
@@ -357,35 +431,49 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                 v = jnp.max(jnp.where(win, attracc[ch], -jnp.inf), axis=2)
                 return jnp.where(has, v, 0.0)            # uncovered → 0
 
-            planes = [attr(0), attr(1), attr(2), zt_out,
-                      attr(3), attr(4), attr(5), jnp.zeros_like(zt_out)]
-            return jnp.concatenate(planes, axis=1)       # (TH, 8*TW)
+            planes = [attr(0), attr(1), attr(2), zt_out]
+            if n_attrs == binning.N_ATTRS:
+                planes += [attr(3), attr(4), attr(5),
+                           jnp.zeros_like(zt_out)]
+            return jnp.concatenate(planes, axis=1)       # (TH, n_out*TW)
 
-        out_ref[:] = jnp.concatenate([tile_block(s) for s in range(group)],
-                                     axis=0)             # (group*TH, 8*TW)
+        for s in range(group):
+            @pl.when(sstripes_ref[group * i + s] > 0)
+            def _(s=s):
+                obuf[i % 2, s] = tile_block(s)
+                out_dma(i, s).start()
 
     return kernel
 
 
-def _raster_tiles_grouped(binned, gstarts, gchunks,
+def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
                           slot_cap: int, ntx: int, nty: int,
                           tile_h: int, tile_w: int, chunk: int, group: int,
-                          z_init: float, interpret: bool):
-    n_groups = ntx * (nty // group)
-    gh = group * tile_h
-    kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init)
+                          z_init: float, interpret: bool,
+                          n_attrs: int = binning.N_ATTRS):
+    n_tiles = ntx * nty
+    n_sorted = -(-n_tiles // group) * group
+    n_groups = n_sorted // group
+    n_out = _out_stripes(n_attrs)
+    rows_used = _rows_used(n_attrs)
+    out_h, out_w = nty * tile_h, ntx * n_out * tile_w
+    kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init,
+                                  n_attrs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(n_groups,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((gh, 8 * tile_w),
-                               lambda i, *_: (i // ntx, i % ntx)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),   # binned chunks
+                  pl.BlockSpec(memory_space=pl.ANY)],   # bg (→ aliased)
+        # full image-ordered G-buffer in HBM; tiles land via manual DMA
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, _ROWS_USED, chunk), jnp.float32),
+            pltpu.VMEM((2, rows_used, chunk), jnp.float32),
             pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
             pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
-            pltpu.VMEM((binning.N_ATTRS, tile_h, tile_w, chunk), jnp.float32),
+            pltpu.VMEM((n_attrs, tile_h, tile_w, chunk), jnp.float32),
+            pltpu.VMEM((2, group, tile_h, n_out * tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, group)),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
@@ -394,28 +482,37 @@ def _raster_tiles_grouped(binned, gstarts, gchunks,
     # vector relayout per frame
     blocks = binned.shape[0] // chunk
     binned_t = binned.reshape(blocks, chunk, _ROW) \
-        .swapaxes(1, 2)[:, :_ROWS_USED, :]
+        .swapaxes(1, 2)[:, :rows_used, :]
+    # background, pre-filled XLA-side (z stripe = z_init, rest 0) and
+    # DONATED to the output: unwritten tiles keep it
+    col = jnp.arange(out_w, dtype=jnp.int32)
+    bg = jnp.broadcast_to(
+        jnp.where((col // tile_w) % n_out == 3, jnp.float32(z_init), 0.0),
+        (out_h, out_w))
     packed = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            ((nty // group) * gh, ntx * 8 * tile_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        input_output_aliases={5: 0},   # bg operand (after 4 scalars) → out
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(gstarts, gchunks, binned_t)
-    s = packed.reshape(nty * tile_h, ntx, 8, tile_w)
+    )(gstarts, gchunks, stids, sstripes, binned_t, bg)
+    # channel unpack: tile (ty, tx)'s stripes sit at their image position
+    s = packed.reshape(nty * tile_h, ntx, n_out, tile_w)
     chans = [s[:, :, c, :].reshape(nty * tile_h, ntx * tile_w)
-             for c in range(7)]
+             for c in range(min(n_out, 7))]
     return tuple(chans)
 
 
 def _raster_tiles(binned, tile_starts, tile_counts,
                   p_cap: int, ntx: int, nty: int,
                   tile_h: int, tile_w: int, chunk: int,
-                  z_init: float, interpret: bool):
+                  z_init: float, interpret: bool,
+                  n_attrs: int = binning.N_ATTRS):
     n_tiles = ntx * nty
+    n_out = _out_stripes(n_attrs)
     # Mosaic DMA slices must be 128-aligned in the minor dim, and this
     # path's chunk starts are NOT 128-row-aligned (per-tile bin offsets),
     # so it cannot use the grouped path's pre-transposed trimmed layout —
@@ -423,26 +520,26 @@ def _raster_tiles(binned, tile_starts, tile_counts,
     # (Fallback path only; the extra copy is acceptable.)
     if binned.shape[1] != 128:
         binned = jnp.pad(binned, ((0, 0), (0, 128 - binned.shape[1])))
-    kernel = _make_kernel(ntx, tile_h, tile_w, chunk, z_init)
-    # one packed output: tile (ty, tx) owns a (tile_h, 8*tile_w) stripe block
-    # holding [B G R z nx ny nz pad] as lane-stripes; no cross-step hazards
+    kernel = _make_kernel(ntx, tile_h, tile_w, chunk, z_init, n_attrs)
+    # one packed output: tile (ty, tx) owns a (tile_h, n_out*tile_w) stripe
+    # block holding [B G R z ...] as lane-stripes; no cross-step hazards
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((tile_h, 8 * tile_w),
+        out_specs=pl.BlockSpec((tile_h, n_out * tile_w),
                                lambda i, *_: (i // ntx, i % ntx)),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, 128), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.float32),
-            pltpu.VMEM((binning.N_ATTRS, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((n_attrs, tile_h, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     packed = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (nty * tile_h, ntx * 8 * tile_w), jnp.float32),
+            (nty * tile_h, ntx * n_out * tile_w), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -451,15 +548,15 @@ def _raster_tiles(binned, tile_starts, tile_counts,
         cost_estimate=pl.CostEstimate(
             flops=40 * p_cap * tile_h * tile_w,
             bytes_accessed=p_cap * 128 * 4
-            + n_tiles * tile_h * tile_w * 32,
+            + n_tiles * tile_h * tile_w * n_out * 4,
             transcendentals=0,
         ),
     )(tile_starts, tile_counts, binned)
-    # unpack stripes: (H_pad, ntx, 8, tile_w) → channel c at [:, :, c, :]
-    s = packed.reshape(nty * tile_h, ntx, 8, tile_w)
+    # unpack stripes: (H_pad, ntx, n_out, tile_w) → channel c at [:, :, c, :]
+    s = packed.reshape(nty * tile_h, ntx, n_out, tile_w)
     chans = [s[:, :, c, :].reshape(nty * tile_h, ntx * tile_w)
-             for c in range(7)]
-    return tuple(chans)  # (cb, cg, cr, z, nx, ny, nz) planar images
+             for c in range(min(n_out, 7))]
+    return tuple(chans)  # (cb, cg, cr, z[, nx, ny, nz]) planar images
 
 
 @functools.partial(jax.jit, static_argnames=("config", "tile_h", "tile_w"))
@@ -472,6 +569,7 @@ def _stage_a(tris_screen, colors, normals, active,
 
 def _plane_stage(tris_screen, colors, normals, active,
                  config: RenderConfig, tile_h: int, tile_w: int):
+    # normals=None → fast-shade rows (3 attr channels, see binning)
     rows, tx0, cx, ty0, cy, counts = binning.plane_data(
         tris_screen, active, config, tile_h, tile_w,
         colors=colors, normals=normals)
@@ -482,12 +580,13 @@ def _plane_stage(tris_screen, colors, normals, active,
 def _stage_b(rows, tx0, cx, ty0, cy, counts,
              config: RenderConfig, p_cap: int, grid_cap: int,
              tile_h: int, tile_w: int, chunk: int, interpret: bool,
-             group: int = 1):
+             group: int = 1, n_attrs: int = binning.N_ATTRS):
     """Bin → Pallas raster.
 
     Returns ((color, z, normal), n_active, cap_used) where ``cap_used`` is
     the quantity the static ``p_cap`` must cover (triangle→tile pairs for
-    ``group == 1``, interleaved slots for grouped mode).
+    ``group == 1``, interleaved slots for grouped mode). With
+    ``n_attrs == 3`` (fast-shade mode) the normal G-buffer is zeros.
     """
     h, w = config.height, config.width
     ntx = -(-w // tile_w)
@@ -512,14 +611,15 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
 
     if group > 1:
         nty_g = -(-nty // group) * group
-        order, gstarts, gchunks, tile_counts, total_slots, n_active = \
+        (order, gstarts, gchunks, stids, sstripes, tile_counts, total_slots,
+         n_active) = \
             bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty_g,
                              slot_cap=p_cap, group=group, sub=chunk // group,
                              interpret=interpret)
         binned = binning.gather_binned(rows, order, chunk)
-        cb, cg, cr, z_img, nx, ny, nz = _raster_tiles_grouped(
-            binned, gstarts, gchunks, p_cap, ntx, nty_g,
-            tile_h, tile_w, chunk, group, config.z_init, interpret)
+        chans = _raster_tiles_grouped(
+            binned, gstarts, gchunks, stids, sstripes, p_cap, ntx, nty_g,
+            tile_h, tile_w, chunk, group, config.z_init, interpret, n_attrs)
         cap_used = total_slots
     else:
         if interpret or n_tiles % 128 != 0 or p_cap % 128 != 0:
@@ -530,12 +630,18 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             binned, tile_starts, tile_counts, n_active = \
                 binning.bin_pairs_fast(rows, tx0, cx, ty0, cy, p_cap,
                                        ntx, nty, chunk)
-        cb, cg, cr, z_img, nx, ny, nz = _raster_tiles(
+        chans = _raster_tiles(
             binned, tile_starts, tile_counts, p_cap,
-            ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret)
+            ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret,
+            n_attrs)
         cap_used = jnp.sum(counts)
+    cb, cg, cr, z_img = chans[:4]
     color = jnp.stack([cb[:h, :w], cg[:h, :w], cr[:h, :w]], axis=-1)
-    normal = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
+    if n_attrs == binning.N_ATTRS:
+        nx, ny, nz = chans[4:7]
+        normal = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
+    else:
+        normal = jnp.zeros_like(color)
     return (color, z_img[:h, :w, None], normal), n_active, cap_used
 
 
@@ -553,8 +659,8 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
     ntx = -(-config.width // tile_w)
     nty = -(-config.height // tile_h)
     nty_g = -(-nty // group) * group
-    _tile_counts, gchunks = group_histogram(tx0, cx, ty0, cy, ntx, nty_g,
-                                            group, sub)
+    _tile_counts, _stids, _sstripes, gchunks = group_histogram(
+        tx0, cx, ty0, cy, ntx, nty_g, group, sub)
     return 128 * jnp.sum(gchunks)
 
 
@@ -579,10 +685,23 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     the tunnel): ``"u8"`` appends the uint8-quantized color image,
     ``"lambert_u8"`` appends Lambert-shaded (``light`` = pre-negated
     normalized direction) uint8 color.
+
+    ``post="fast_lambert_u8"`` is the opt-in FAST-SHADE mode: Lambert is
+    evaluated per VERTEX and baked into the color attribute planes (classic
+    Gouraud), so the kernel carries 3 attribute channels instead of 6 —
+    ~30% less chunk arithmetic and half the G-buffer output traffic. The
+    depth buffer is bit-identical to the exact mode (same geometry planes);
+    the shaded image differs from the reference's per-pixel-normal Lambert
+    only by the interpolation order (values interpolated after shading vs
+    shaded after interpolation), and the returned normal G-buffer is zeros.
+    The default path is unchanged — fast mode only runs when explicitly
+    requested (reference analogue: Version A→C trades generality for the
+    hot path, README.md:25-46).
     """
     from .illumination import lambert_shade
     from .projection import project_to_screen, visibility_masks
 
+    fast = post == "fast_lambert_u8"
     if tri_verts.shape[0] == 0:   # empty scene → background
         zero = jnp.zeros((), jnp.int32)
         out = _background(config)
@@ -590,12 +709,22 @@ def render_frame(tri_verts, tri_norms, tri_colors,
         degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
         active = jnp.logical_and(~degenerate, ~backfacing)
         tris_screen = project_to_screen(tri_verts, config)
+        if fast:
+            # per-vertex Lambert shade baked into the colors (Gouraud);
+            # same formula as the deferred pass (guro_illumination.py:20-27)
+            dot = jnp.sum(tri_norms * light, axis=-1, keepdims=True)
+            norm = jnp.linalg.norm(tri_norms, axis=-1, keepdims=True)
+            shade = jnp.clip(dot / (norm + 1e-6), 0.0, 1.0)
+            attr_colors, attr_normals, n_attrs = tri_colors * shade, None, 3
+        else:
+            attr_colors, attr_normals, n_attrs = (tri_colors, tri_norms,
+                                                  binning.N_ATTRS)
         rows, tx0, cx, ty0, cy, counts, _total = _plane_stage(
-            tris_screen, tri_colors, tri_norms, active, config, tile_h,
+            tris_screen, attr_colors, attr_normals, active, config, tile_h,
             tile_w)
         out, n_active, cap_used = _stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
-            tile_h, tile_w, chunk, interpret, group)
+            tile_h, tile_w, chunk, interpret, group, n_attrs)
     if tri_verts.shape[0] == 0:
         n_active = cap_used = zero
     if post == "none":
@@ -603,7 +732,7 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     color, _z, normal = out
     if post == "lambert_u8":
         img = lambert_shade(color, normal, light).astype(jnp.uint8)
-    else:
+    else:   # "u8" or fast mode (colors already shaded per-vertex)
         img = color.astype(jnp.uint8)
     return out, cap_used, n_active, img
 
@@ -648,4 +777,4 @@ def rasterize(tris_screen: jnp.ndarray,
 
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group"))
+    "group", "n_attrs"))

@@ -315,12 +315,12 @@ def test_binsort_grouped_overflow_clamps_and_unroll_tail():
                      jnp.int32)
 
     ample = 128 * int(jnp.sum(group_histogram(
-        tx0, cx, ty0, cy, ntx, nty, group, sub)[1]))
+        tx0, cx, ty0, cy, ntx, nty, group, sub)[3]))
     for slot_cap in (ample, 128):           # ample and badly undersized
-        order, gstarts, gchunks, tile_counts, total, n_active = \
-            bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty,
-                             slot_cap=slot_cap, group=group, sub=sub,
-                             interpret=True)
+        order, gstarts, gchunks, stids, sstripes, tile_counts, total, \
+            n_active = bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty,
+                                        slot_cap=slot_cap, group=group,
+                                        sub=sub, interpret=True)
         order = np.asarray(order)
         gstarts = np.asarray(gstarts)
         assert order.shape == (slot_cap,)
@@ -331,23 +331,106 @@ def test_binsort_grouped_overflow_clamps_and_unroll_tail():
         assert np.all(np.asarray(gchunks) >= 0)
 
     # ample capacity: every (triangle, tile) pair must be placed exactly
-    # once in its tile's stripe slots, in ascending triangle order
-    order, gstarts, gchunks, tile_counts, total, _ = bin_sort_grouped(
-        tx0, cx, ty0, cy, ntx=ntx, nty=nty, slot_cap=ample, group=group,
-        sub=sub, interpret=True)
-    order, gstarts, tile_counts = map(np.asarray,
-                                      (order, gstarts, tile_counts))
+    # once in its tile's stripe slots (count-sorted composition: tile at
+    # sorted position k lives in group k//group, stripe k%group), in
+    # ascending triangle order
+    order, gstarts, gchunks, stids, sstripes, tile_counts, total, _ = \
+        bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty, slot_cap=ample,
+                         group=group, sub=sub, interpret=True)
+    order, gstarts, tile_counts, stids, sstripes = map(
+        np.asarray, (order, gstarts, tile_counts, stids, sstripes))
+    # stids is a permutation of the real tiles
+    sortpos = np.empty(ntx * nty, np.int64)
+    sortpos[stids] = np.arange(ntx * nty)
+    assert np.array_equal(stids[sortpos], np.arange(ntx * nty))
     tx0n, ty0n, cxn, cyn = map(np.asarray, (tx0, ty0, cx, cy))
     for tile in range(ntx * nty):
         tyv, txv = divmod(tile, ntx)
         want = [tri for tri in range(t)
                 if (tx0n[tri] <= txv < tx0n[tri] + cxn[tri]
                     and ty0n[tri] <= tyv < ty0n[tri] + cyn[tri])]
-        g = (tyv // group) * ntx + txv
-        base = gstarts[g] + (tyv % group) * sub
+        k = sortpos[tile]
+        base = gstarts[k // group] + (k % group) * sub
         got = [order[base + (r // sub) * (group * sub) + r % sub]
                for r in range(tile_counts[tile])]
         assert got == want, f"tile {tile}: {got} != {want}"
+    # count-sorted composition: group chunk demand must equal its largest
+    # member tile's stripe demand (balanced stripes, no max-over-neighbors)
+    stripes = -(-tile_counts // sub)
+    sorted_stripes = stripes[stids[stids < ntx * nty]]
+    assert np.all(np.diff(sorted_stripes) <= 0)      # descending
+    np.testing.assert_array_equal(np.asarray(gchunks),
+                                  sorted_stripes[::group])
+
+
+def test_fast_shade_mode():
+    """Opt-in fast-shade (Gouraud) mode vs the exact default path.
+
+    Contract: (a) the z-buffer is BIT-IDENTICAL to the exact mode (same
+    geometry planes decide winners), (b) the shaded image equals the jnp
+    oracle run on per-vertex-shaded colors (classic Gouraud semantics),
+    (c) the default path is untouched — a filler without ``fast_shade``
+    dispatches the exact 6-channel mode.
+    """
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.config import RenderConfig
+    from cython3dmodelrenderer_tpu.ops import binning
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    config = RenderConfig(height=96, width=128, fov=60)
+    tris, colors, normals = random_scene(t=60, seed=9)
+    tv, tn, tc = jnp.asarray(tris), jnp.asarray(normals), jnp.asarray(colors)
+    light = -jnp.asarray([0.3, -0.2, 1.0], jnp.float32)
+    light = light / jnp.linalg.norm(light)
+
+    degenerate, backfacing = visibility_masks(tv, tn)
+    active = ~degenerate & ~backfacing
+    ts = project_to_screen(tv, config)
+    slots = int(rp.grouped_slot_total(ts, active, config, group=4))
+    p_cap = binning.capacity_bucket(slots, 128)
+
+    exact = rp.render_frame(tv, tn, tc, config, p_cap, 0, group=4,
+                            interpret=True, post="lambert_u8", light=light)
+    fast = rp.render_frame(tv, tn, tc, config, p_cap, 0, group=4,
+                           interpret=True, post="fast_lambert_u8",
+                           light=light)
+    (c_e, z_e, n_e), _, _, img_e = exact
+    (c_f, z_f, n_f), _, _, img_f = fast
+
+    # (a) bit-identical depth
+    np.testing.assert_array_equal(np.asarray(z_f), np.asarray(z_e))
+    # fast mode's normal G-buffer is documented zeros
+    assert float(jnp.abs(n_f).max()) == 0.0
+
+    # (b) Gouraud semantics: oracle on pre-shaded colors
+    dot = jnp.sum(tn * light, axis=-1, keepdims=True)
+    norm = jnp.linalg.norm(tn, axis=-1, keepdims=True)
+    shade = jnp.clip(dot / (norm + 1e-6), 0.0, 1.0)
+    bbox = raster_ref.required_bbox_size(ts, active, config)
+    ref = raster_ref.rasterize(ts, tc * shade, tn, active, config,
+                               bbox_size=bbox, chunk=16)
+    frac = (np.abs(np.asarray(ref[0]) - np.asarray(c_f)).max(axis=-1)
+            > 0.5).mean()
+    assert frac == 0.0, f"fast-shade color mismatch fraction {frac}"
+
+    # (c) default path: a plain filler never rewrites the post mode
+    from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+
+    filler = AdvancedPixelBufferFiller(96, 128, fov=60, backend="pallas",
+                                       interpret=True)
+    assert filler.fast_shade is False
+    filler._rasterize(tv, tn, tc, post="lambert_u8", light=light)
+    assert filler._post_mode[0] == "lambert_u8"
+    np.testing.assert_array_equal(np.asarray(filler._post_image),
+                                  np.asarray(img_e))
+    # and the opt-in flag engages the fast mode
+    filler_f = AdvancedPixelBufferFiller(96, 128, fov=60, backend="pallas",
+                                         interpret=True, fast_shade=True)
+    filler_f._rasterize(tv, tn, tc, post="lambert_u8", light=light)
+    assert filler_f._post_mode[0] == "fast_lambert_u8"
+    np.testing.assert_array_equal(np.asarray(filler_f._post_image),
+                                  np.asarray(img_f))
 
 
 def test_grouped_degrades_past_packing_limits():

@@ -415,6 +415,10 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         # DMAs straight to its image position (empty stripes skip — the
         # aliased background already covers them). Exact z ties break by
         # minimum rank = sequential first-writer order.
+        # (A single (TH, TW, G, sub)-reshaped reduction yielding all four
+        # stripes at once does NOT compile: Mosaic rejects the lane-dim
+        # shape cast 128 → 4x32 — "infer-vector-layout: unsupported shape
+        # cast". Keep the per-stripe masked reductions.)
         zfin = zacc[:]
         rfin = racc[:]
 
@@ -479,9 +483,10 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
     )
     # pre-transpose + trim outside the kernel: XLA's transpose is HBM-
     # bandwidth bound on a few MB (tens of us) vs ~0.8 ms of in-kernel
-    # vector relayout per frame
+    # vector relayout per frame (the caller may have pre-trimmed the
+    # gathered rows to rows_used columns already — see _stage_b)
     blocks = binned.shape[0] // chunk
-    binned_t = binned.reshape(blocks, chunk, _ROW) \
+    binned_t = binned.reshape(blocks, chunk, binned.shape[-1]) \
         .swapaxes(1, 2)[:, :rows_used, :]
     # background, pre-filled XLA-side (z stripe = z_init, rest 0) and
     # DONATED to the output: unwritten tiles keep it
@@ -616,7 +621,10 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty_g,
                              slot_cap=p_cap, group=group, sub=chunk // group,
                              interpret=interpret)
-        binned = binning.gather_binned(rows, order, chunk)
+        # gather only the live columns (12 planes + bbox + prio + attr
+        # coefs): ~45% less row-gather traffic than the padded 64-wide rows
+        binned = binning.gather_binned(rows[:, :_rows_used(n_attrs)], order,
+                                       chunk)
         chans = _raster_tiles_grouped(
             binned, gstarts, gchunks, stids, sstripes, p_cap, ntx, nty_g,
             tile_h, tile_w, chunk, group, config.z_init, interpret, n_attrs)

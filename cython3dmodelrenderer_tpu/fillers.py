@@ -179,7 +179,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._latest = None          # (tv, tn, tc, cap) of newest dispatch
         self._validated = True       # no un-validated dispatches outstanding
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
-        self._group: int = 4
+        from .ops.raster_pallas import GROUP
+        self._group: int = GROUP
         # fused final-image pass of the last frame (see render_model(post=))
         self._post_mode = ("none", None)
         self._post_image: Optional[jnp.ndarray] = None

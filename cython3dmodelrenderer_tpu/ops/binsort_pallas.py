@@ -135,7 +135,8 @@ def _make_group_kernel(n_tiles: int, n_sorted: int, group: int, sub: int,
         # can cover a pixel is in that pixel's own bin at an earlier rank.
 
         # Placement into group-interleaved slots: group g's chunk j holds
-        # [tile0 ranks 32j.., tile1, tile2, tile3] as 32-lane stripes.
+        # [tile0 ranks sub*j.., tile1, …, tile_{group-1}] as sub-lane
+        # stripes.
         def emit(i):
             p = pairs_ref[i]
             tile = p & ((1 << 14) - 1)
@@ -191,13 +192,15 @@ def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
     n_sorted = -(-n_tiles // group) * group
     stripes = (tile_counts + (sub - 1)) // sub               # (n_tiles,)
     # Packed single-operand sort: descending stripe count, ascending tile id
-    # within equal counts (deterministic). stripes < 2^12 (slot_cap < 2^17,
-    # sub ≥ 32) and tile < 2^14, so the key fits comfortably in int32.
-    inv = ((1 << 12) - 1) - jnp.minimum(stripes, (1 << 12) - 1)
+    # within equal counts (deterministic). stripes ≤ slot_cap < 2^17 for any
+    # sub ≥ 1, and tile < 2^14; (inv << 14) | tile reaches exactly INT32_MAX
+    # at those limits — zero headroom, same exact-fit as the pair packing
+    # below (re-derive the bound before widening either field).
+    inv = ((1 << 17) - 1) - jnp.minimum(stripes, (1 << 17) - 1)
     key = (inv << 14) | jnp.arange(n_tiles, dtype=jnp.int32)
     skey = jax.lax.sort(key, is_stable=False)
     stids = (skey & ((1 << 14) - 1)).astype(jnp.int32)
-    sstripes = ((1 << 12) - 1) - (skey >> 14)
+    sstripes = ((1 << 17) - 1) - (skey >> 14)
     if n_sorted != n_tiles:                                  # sentinel pad
         stids = jnp.concatenate(
             [stids, jnp.full((n_sorted - n_tiles,), n_tiles, jnp.int32)])
@@ -223,7 +226,7 @@ def grouped_limits_ok(t: int, slot_cap: int, ntx: int, nty: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("ntx", "nty", "slot_cap",
                                              "group", "sub", "interpret"))
 def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
-                     group: int = 4, sub: int = 32, interpret: bool = False):
+                     group: int = 8, sub: int = 16, interpret: bool = False):
     """Counting-sort triangles into group-interleaved, count-sorted tile bins.
 
     A "group" is ``group`` tiles sharing one raster grid step; each 128-slot

@@ -23,8 +23,8 @@ with per-pixel locks (``crender/cy/.../advanced_pixel_buffer_filler.pyx:
   alongside, so the G-buffers (color, z, normal) leave the kernel finished —
   no post-pass and no XLA gather anywhere;
 * two kernel variants: one tile per grid step (``_make_kernel``), and the
-  default grouped variant (``_make_kernel_grouped``) packing ``group=4``
-  COUNT-SORTED tiles into each 128-lane chunk as 32-lane stripes (balanced
+  default grouped variant (``_make_kernel_grouped``) packing ``group=8``
+  COUNT-SORTED tiles into each 128-lane chunk as 16-lane stripes (balanced
   stripes: a group's chunk count ≈ its mean tile's demand, not its worst
   neighbor's), with a lane-local running argmin, one segmented epilogue
   reduction, cross-group input-DMA pipelining via a persistent SMEM chunk
@@ -77,6 +77,12 @@ def _out_stripes(n_attrs: int) -> int:
 # use the same tile.
 TILE_H = 16
 TILE_W = 32
+# default lane-subgroup packing: 8 count-sorted tiles per 128-lane chunk
+# (16-lane stripes). Finer stripes quantize each tile's demand with less
+# rounding waste — on the bench scenes g8/sub16 needs ~23% fewer chunk
+# iterations than g4/sub32 (155 vs 202 on T-Rex) and measured ~6% faster
+# end-to-end; g16/sub8 buys almost no further chunks. Must divide 128.
+GROUP = 8
 
 
 def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
@@ -222,7 +228,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                          n_attrs: int = binning.N_ATTRS):
     """Grouped kernel: one grid step = ``group`` COUNT-SORTED tiles.
 
-    Chunks interleave the tiles as 32-lane stripes (see
+    Chunks interleave the tiles as ``sub``-lane stripes (see
     ``binsort_pallas.bin_sort_grouped``), so sparse tiles share their
     chunk's lanes with denser neighbors — ~2-3x fewer chunk iterations than
     one-tile-per-step on typical scenes. Group membership follows the
@@ -657,7 +663,7 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
     "config", "tile_h", "tile_w", "chunk", "group"))
 def grouped_slot_total(tris_screen, active, config: RenderConfig,
                        tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 128,
-                       group: int = 4):
+                       group: int = GROUP):
     """Slot count a grouped frame needs (device scalar; one sizing sync)."""
     from .binsort_pallas import group_histogram
 

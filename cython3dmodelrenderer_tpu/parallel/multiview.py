@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
-from ..ops import raster_ref
+from ..ops import raster_pallas, raster_ref
 from ..ops.illumination import lambert_shade
 from ..ops.projection import project_to_screen, visibility_masks
 from ..ops.transforms import rotation_matrix
@@ -137,7 +137,7 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             post_shift=(0.0, 0.0, 1.0), chunk: int = 128,
                             light_direction=(0.0, 0.0, 1.0),
                             interpret: bool = False,
-                            group: int = 4,
+                            group: int = raster_pallas.GROUP,
                             check_capacity: bool = False) -> jnp.ndarray:
     """Multi-view render through the Pallas rasterizer (one chip).
 
@@ -166,7 +166,7 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
 
 def turntable_capacity(tri_verts, tri_norms, config: RenderConfig,
                        n_samples: int = 8, headroom: float = 1.5,
-                       post_shift=(0.0, 0.0, 1.0), group: int = 4) -> int:
+                       post_shift=(0.0, 0.0, 1.0), group: int = raster_pallas.GROUP) -> int:
     """Static bin capacity covering a full turntable sweep (one host sync).
 
     Samples bin-slot demand at ``n_samples`` angles, applies ``headroom``.
@@ -179,7 +179,7 @@ def turntable_capacity(tri_verts, tri_norms, config: RenderConfig,
 
 def sequence_capacity(tri_verts, tri_norms, angles, shifts,
                       config: RenderConfig, headroom: float = 1.5,
-                      post_shift=(0.0, 0.0, 1.0), group: int = 4) -> int:
+                      post_shift=(0.0, 0.0, 1.0), group: int = raster_pallas.GROUP) -> int:
     """Static bin capacity covering a pose sequence (one host sync).
 
     Evaluates bin-slot demand at every given pose (``shifts=None`` → the
@@ -215,7 +215,7 @@ def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                            shifts: jnp.ndarray, config: RenderConfig,
                            p_cap: int, chunk: int = 128,
                            light_direction=(0.0, 0.0, 1.0),
-                           interpret: bool = False, group: int = 4,
+                           interpret: bool = False, group: int = raster_pallas.GROUP,
                            check_capacity: bool = False) -> jnp.ndarray:
     """Arbitrary pose-sequence animation as ONE dispatch (one chip).
 
@@ -253,7 +253,7 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
                              axis: str = "views", post_shift=(0.0, 0.0, 1.0),
                              bbox_size: int = 64, chunk: int = 512,
                              backend: str = "jnp", p_cap: int = None,
-                             interpret: bool = False, group: int = 4):
+                             interpret: bool = False, group: int = raster_pallas.GROUP):
     """shard_map the turntable over a mesh axis: each device renders N/D views.
 
     Geometry is replicated (it is small); views are sharded. No collectives
@@ -297,7 +297,7 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
 
 def triangle_shard_capacity(tri_verts, tri_norms, config: RenderConfig,
                             mesh: Mesh, axis: str = "tris",
-                            group: int = 4, headroom_num: int = 5,
+                            group: int = raster_pallas.GROUP, headroom_num: int = 5,
                             headroom_den: int = 4) -> int:
     """Static per-shard bin capacity for triangle-sharded Pallas rendering.
 
@@ -325,7 +325,7 @@ def render_triangle_sharded(tri_verts, tri_norms, tri_colors,
                             bbox_size: int = 64, chunk: int = 512,
                             light_direction=(0.0, 0.0, 1.0),
                             backend: str = "jnp", p_cap: int = None,
-                            interpret: bool = False, group: int = 4,
+                            interpret: bool = False, group: int = raster_pallas.GROUP,
                             check_capacity: bool = False):
     """Shard triangles across the mesh; merge partial G-buffers by z-argmin.
 

@@ -158,9 +158,12 @@ def bench_turntable():
     angles = multiview.turntable_angles(64)
 
     def sweep():
+        # post="u8": display-ready uint8 frames, matching the reference's
+        # uint8 BGR Buffer (and the single-frame bench's fused quantize)
         return multiview.render_turntable_pallas(tv, tn, tc, angles, config,
                                                  p_cap=p_cap,
-                                                 check_capacity=True)
+                                                 check_capacity=True,
+                                                 post="u8")
 
     _imgs, used = sweep()
     assert int(used) <= p_cap, \

@@ -421,12 +421,17 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         # DMAs straight to its image position (empty stripes skip — the
         # aliased background already covers them). Exact z ties break by
         # minimum rank = sequential first-writer order.
-        # (A single (TH, TW, G, sub)-reshaped reduction yielding all four
-        # stripes at once does NOT compile: Mosaic rejects the lane-dim
-        # shape cast 128 → 4x32 — "infer-vector-layout: unsupported shape
-        # cast". Keep the per-stripe masked reductions.)
+        # (Measured dead ends here: a (TH, TW, G, sub)-reshaped single
+        # reduction does not compile — Mosaic rejects the lane-dim shape
+        # cast 128 → GxSUB, "infer-vector-layout: unsupported shape cast";
+        # and a segmented-butterfly tournament (log2(sub) pltpu.roll rounds
+        # computing every stripe at once, then one lane-extract per stripe)
+        # compiles but measures ~8% SLOWER than the masked reductions —
+        # lane rolls and single-lane extracts are relayout-priced.)
         zfin = zacc[:]
         rfin = racc[:]
+
+        afin = attracc[:]                                # (n_attrs, TH, TW, K)
 
         def tile_block(s):
             inseg = seg == s
@@ -436,15 +441,15 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             rmin = jnp.min(jnp.where(cand, rfin, jnp.inf), axis=2)
             win = cand & (rfin == rmin[..., None])       # one-hot per pixel
             has = ~jnp.isinf(zt)
+            # all attr channels share the win mask — ONE fused reduction
+            # over the stacked (n_attrs, TH, TW, K) accumulator instead of
+            # n_attrs separate cross-lane passes
+            av = jnp.max(jnp.where(win[None], afin, -jnp.inf), axis=3)
+            av = jnp.where(has[None], av, 0.0)           # uncovered → 0
 
-            def attr(ch):
-                v = jnp.max(jnp.where(win, attracc[ch], -jnp.inf), axis=2)
-                return jnp.where(has, v, 0.0)            # uncovered → 0
-
-            planes = [attr(0), attr(1), attr(2), zt_out]
+            planes = [av[0], av[1], av[2], zt_out]
             if n_attrs == binning.N_ATTRS:
-                planes += [attr(3), attr(4), attr(5),
-                           jnp.zeros_like(zt_out)]
+                planes += [av[3], av[4], av[5], jnp.zeros_like(zt_out)]
             return jnp.concatenate(planes, axis=1)       # (TH, n_out*TW)
 
         for s in range(group):

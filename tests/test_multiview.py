@@ -166,3 +166,25 @@ def test_render_sequence_pallas_generalizes_turntable():
     # receding frames shrink: covered pixel count strictly decreases
     covered = [(f.max(-1) > 0).sum() for f in seq2]
     assert covered[0] > covered[-1] > 0
+
+
+def test_sequence_post_u8_quantizes():
+    """post="u8" returns uint8 frames equal to the f32 sweep truncated —
+    the sequence analogue of the single-frame fused quantize pass."""
+    tv, tn, tc = tiny_scene(t=24, seed=9)
+    angles = multiview.turntable_angles(3)
+    p_cap = multiview.sequence_capacity(tv, tn, angles, None, CONFIG)
+
+    f32 = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, CONFIG, p_cap=p_cap, interpret=True))
+    u8 = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, CONFIG, p_cap=p_cap, interpret=True, post="u8"))
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8, f32.astype(np.uint8))
+
+    shifts = jnp.broadcast_to(jnp.float32([0.0, 0.0, 1.0]), (3, 3))
+    sq = np.asarray(multiview.render_sequence_pallas(
+        tv, tn, tc, angles, shifts, CONFIG, p_cap=p_cap, interpret=True,
+        post="u8"))
+    assert sq.dtype == np.uint8
+    np.testing.assert_array_equal(sq, u8)

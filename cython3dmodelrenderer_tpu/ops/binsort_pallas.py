@@ -12,12 +12,15 @@ across the TPU's units:
   (SMEM scalar loop). Ascending order per tile is exactly the stable order
   the depth-tie rule needs.
 
-The grouped path (``bin_sort_grouped``, the production one) materializes
-the pair list XLA-side — two scatter+cummax fill-forwards expand the
-per-triangle tile spans into one packed int32 per pair — so its scalar
-loop is a branchless unrolled emit per pair. The one-tile-per-step path
-(``bin_sort``) still iterates (tx0, cx, ty0, cy) spans directly with a
-single-tile fast path. Unplaced capacity slots are left uninitialized and
+The production grouped path is ``bin_gather_grouped``: it materializes
+the pair list XLA-side (scatter+cummax fill-forwards expand the
+per-triangle tile spans into one packed int32 per pair), sorts the packed
+keys with the Pallas bitonic network (``sort_pallas``), and builds the
+group-interleaved layout with pure vector index math — no scalar loop at
+all. ``bin_sort_grouped`` keeps the earlier scalar cursor-chain placement
+kernel as the equivalence oracle (same tables, bit-identical render). The
+one-tile-per-step path (``bin_sort``) still iterates (tx0, cx, ty0, cy)
+spans directly with a single-tile fast path. Unplaced capacity slots are left uninitialized and
 clamped by the caller into valid row indices — safe because plane_data
 zeroes culled rows' bboxes (SAFETY INVARIANT there), so any row that can
 cover a pixel is already in that pixel's bin at an earlier rank. Scalar
@@ -337,6 +340,130 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
     order = jnp.clip(order.reshape(-1), 0, t)
     n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
     return (order, gstarts, gchunks, stids, sstripes, tile_counts,
+            total_slots, n_active)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ntx", "nty", "slot_cap", "group", "sub", "interpret"))
+def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
+                       slot_cap: int, group: int = 8, sub: int = 16,
+                       interpret: bool = False):
+    """Sorted-gather binning: bitonic key sort + vectorized interleave.
+
+    Produces the same group-interleaved binned-row buffer as
+    ``bin_sort_grouped`` + ``binning.gather_binned`` but with NO scalar
+    placement loop — the measured 0.31 ms cursor-chain emit kernel is
+    replaced by a ~30 us Pallas bitonic sort (``sort_pallas``) plus pure
+    vector index math:
+
+    1. pack each (triangle, tile) pair as ``(tile << 17) | tri`` — the
+       ascending sort groups pairs per tile with ascending triangle order
+       inside (the stable order the depth-tie rank rule needs);
+    2. bitonic-sort the packed keys; gather the plane rows into sorted
+       order (one fast ROW gather — XLA vectorizes row gathers, while a
+       same-size 1-D element gather costs a measured 0.69 ms, so every
+       per-slot map below is built from row gathers, repeats, and one more
+       scatter+cummax fill-forward, never element gathers);
+    3. build the group-interleaved gather indices in closed form: slot
+       (chunk c, lane l) holds the tile of stripe ``l // sub`` of chunk
+       c's group at rank ``(c - group_start) * sub + l % sub``, whose
+       sorted position is ``tile_run_start + rank``. Per-chunk group ids
+       fill forward over the chunk axis; per-stripe run starts expand from
+       a (n_groups, 128) table by one row gather;
+    4. one second row gather reorders the sorted rows into the interleaved
+       layout the grouped raster kernel consumes.
+
+    Returns (binned (slot_cap + 128, R) f32, gstarts, gchunks, stids,
+    sstripes, tile_counts, total_slots, n_active) — the same group tables
+    as ``bin_sort_grouped``. Capacity overflow behaves identically:
+    trailing groups lose chunks (detectable via ``total_slots >
+    slot_cap``), and out-of-run reads land on real rows, which is harmless
+    by the duplicate-or-fail-bbox SAFETY INVARIANT (``binning.plane_data``).
+    """
+    from .sort_pallas import bitonic_sort_i32
+
+    t = tx0.shape[0]
+    assert group * sub == 128
+    chunk = 128
+    n_tiles = ntx * nty
+    n_sorted = -(-n_tiles // group) * group
+    assert slot_cap % chunk == 0
+    assert ntx <= 63 and n_tiles < (1 << 14), \
+        "image too large for the packed bin descriptor"
+    assert t < (1 << 17), "pair packing supports up to 2^17 triangles"
+    assert slot_cap < (1 << 17), "pair packing supports up to 2^17 slots"
+    n_chunks = slot_cap // chunk
+
+    tile_counts, stids, sstripes, gchunks = group_histogram(
+        tx0, cx, ty0, cy, ntx, nty, group, sub)
+    csum = jnp.cumsum(gchunks)
+    total_slots = chunk * csum[-1]
+    allowed = n_chunks
+    cum_c = jnp.minimum(csum.astype(jnp.int32), allowed)
+    start_c = jnp.minimum(
+        jnp.concatenate([jnp.zeros(1, jnp.int32),
+                         csum[:-1].astype(jnp.int32)]), allowed)
+    gchunks = cum_c - start_c
+    gstarts = chunk * jnp.concatenate([start_c, cum_c[-1:]])
+    n_groups = int(gchunks.shape[0])
+
+    # ---- pair expansion (same ffill machinery as bin_sort_grouped) but
+    # packed as (tile << 17) | tri for the single-operand stable sort
+    act = (cx > 0) & (cy > 0)
+    pc = jnp.where(act, cx * cy, 0)
+    off = jnp.cumsum(pc) - pc
+    total_pairs = off[-1] + pc[-1]
+    n_pairs = jnp.minimum(total_pairs, slot_cap)
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
+    startpos = jnp.where(act, off, slot_cap)
+    zeros = jnp.zeros((slot_cap,), jnp.int32)
+
+    def ffill(vals):
+        return jax.lax.cummax(zeros.at[startpos].set(vals, mode="drop"))
+
+    a_p = ffill((off << 6) | cx)
+    b_p = ffill((tri_ids << 14) | (ty0 * ntx + tx0))
+    k = jnp.arange(slot_cap, dtype=jnp.int32) - (a_p >> 6)
+    cx_p = a_p & 63
+    dy = k // jnp.maximum(cx_p, 1)
+    dx = k - dy * cx_p
+    tile_p = (b_p & ((1 << 14) - 1)) + dy * ntx + dx
+    # (tile << 17) | tri reaches exactly INT32_MAX at the asserted limits —
+    # zero headroom, same exact fit as bin_sort_grouped's packing
+    keys = (tile_p << 17) | (b_p >> 14)
+    idx = jnp.arange(slot_cap, dtype=jnp.int32)
+    keys = jnp.where(idx < n_pairs, keys, jnp.int32(n_tiles) << 17)
+
+    skeys = bitonic_sort_i32(keys, interpret=interpret)
+    sorted_tri = jnp.minimum(skeys & ((1 << 17) - 1), t - 1)
+    rows_sorted = rows[sorted_tri]                    # fast row gather
+
+    # ---- closed-form interleave indices, no element gathers
+    # per-chunk group id + group chunk-start, fill-forward over chunks
+    # ((g << 10) | start_c fits: g < 2^11 via n_tiles < 2^14 / group >= 8,
+    # start_c <= slot_cap/128 < 2^10; strictly increasing in g)
+    gi = jnp.arange(n_groups, dtype=jnp.int32)
+    gword = jax.lax.cummax(
+        jnp.zeros((n_chunks,), jnp.int32)
+        .at[jnp.where(gchunks > 0, start_c, n_chunks)]
+        .set((gi << 10) | start_c, mode="drop"))
+    g_of_chunk = gword >> 10                           # (n_chunks,)
+    j_c = jnp.arange(n_chunks, dtype=jnp.int32) - (gword & ((1 << 10) - 1))
+    # per-(sorted position) tile run start in the sorted array; expand to a
+    # (n_groups, 128) lane table, then ONE row gather per chunk
+    pstart = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(tile_counts)]).astype(jnp.int32)
+    tbl = pstart[jnp.minimum(stids, n_tiles)]          # (n_sorted,) small
+    tbl2 = jnp.repeat(tbl.reshape(-1, group)[:n_groups], sub, axis=1)
+    run0 = tbl2[g_of_chunk]                            # (n_chunks, 128)
+    lane = jnp.arange(chunk, dtype=jnp.int32)
+    f_idx = run0 + j_c[:, None] * sub + (lane % sub)[None, :]
+    f_idx = jnp.clip(f_idx.reshape(-1), 0, slot_cap - 1)
+
+    binned = rows_sorted[f_idx]
+    binned = jnp.pad(binned, ((0, chunk), (0, 0)))     # chunk-tail guard
+    n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
+    return (binned, gstarts, gchunks, stids, sstripes, tile_counts,
             total_slots, n_active)
 
 

@@ -479,3 +479,55 @@ def test_grouped_degrades_past_packing_limits():
     # 3e-3: this seed has 8 triangle-edge pixels where plane-form λ rounds
     # differently from the oracle's ratio form on CPU (2 on TPU)
     assert_match(ref, pal, edge_tol=3e-3)
+
+
+def test_sorted_gather_binning_matches_scalar_placement():
+    """The bitonic sorted-gather binning (bin_gather_grouped) must produce
+    the same group tables and bit-identical rendered G-buffers as the
+    scalar counting-sort placement path (bin_sort_grouped + gather)."""
+    from cython3dmodelrenderer_tpu.ops import binning, binsort_pallas
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    rng = np.random.RandomState(7)
+    t = 300
+    config = RenderConfig(height=128, width=128, fov=60)
+    th, tw = 16, 32
+    group, sub, chunk = 8, 16, 128
+    ntx, nty_g = 4, 8
+
+    pts = rng.rand(t, 3, 2) * 140 - 6
+    z = rng.rand(t, 3, 1) * 0.9 + 0.05
+    ts = jnp.asarray(np.concatenate([pts, z], -1).astype(np.float32))
+    tc = jnp.asarray(rng.rand(t, 3, 3).astype(np.float32) * 255)
+    tn = jnp.asarray(rng.rand(t, 3, 3).astype(np.float32) - 0.5)
+    act = jnp.asarray(rng.rand(t) > 0.1)
+
+    rows, tx0, cx, ty0, cy, counts = binning.plane_data(
+        ts, act, config, th, tw, colors=tc, normals=tn)
+    p_cap = binning.capacity_bucket(int(jnp.sum(counts)), 128)
+    ru = rp._ROWS_USED
+
+    (order, gstarts, gchunks, stids, sstripes, _tc, tot, na) = \
+        binsort_pallas.bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx,
+                                        nty=nty_g, slot_cap=p_cap,
+                                        group=group, sub=sub, interpret=True)
+    binned_old = binning.gather_binned(rows[:, :ru], order, chunk)
+    (binned_new, gstarts2, gchunks2, stids2, sstripes2, _tc2, tot2, na2) = \
+        binsort_pallas.bin_gather_grouped(rows[:, :ru], tx0, cx, ty0, cy,
+                                          ntx=ntx, nty=nty_g, slot_cap=p_cap,
+                                          group=group, sub=sub,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(gstarts), np.asarray(gstarts2))
+    np.testing.assert_array_equal(np.asarray(gchunks), np.asarray(gchunks2))
+    np.testing.assert_array_equal(np.asarray(stids), np.asarray(stids2))
+    np.testing.assert_array_equal(np.asarray(sstripes), np.asarray(sstripes2))
+    assert int(tot) == int(tot2) and int(na) == int(na2)
+
+    chans_old = rp._raster_tiles_grouped(
+        binned_old, gstarts, gchunks, stids, sstripes, p_cap, ntx, nty_g,
+        th, tw, chunk, group, config.z_init, True)
+    chans_new = rp._raster_tiles_grouped(
+        binned_new, gstarts2, gchunks2, stids2, sstripes2, p_cap, ntx, nty_g,
+        th, tw, chunk, group, config.z_init, True)
+    for c_old, c_new in zip(chans_old, chans_new):
+        np.testing.assert_array_equal(np.asarray(c_old), np.asarray(c_new))

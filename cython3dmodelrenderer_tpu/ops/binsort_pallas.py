@@ -201,7 +201,11 @@ def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
     # below (re-derive the bound before widening either field).
     inv = ((1 << 17) - 1) - jnp.minimum(stripes, (1 << 17) - 1)
     key = (inv << 14) | jnp.arange(n_tiles, dtype=jnp.int32)
-    skey = jax.lax.sort(key, is_stable=False)
+    # Pallas bitonic: XLA's lax.sort costs a measured ~0.11 ms even on the
+    # 2k tile keys (vs ~0.035 ms); falls back to lax.sort off-TPU.
+    from .sort_pallas import bitonic_sort_i32
+
+    skey = bitonic_sort_i32(key)
     stids = (skey & ((1 << 14) - 1)).astype(jnp.int32)
     sstripes = ((1 << 17) - 1) - (skey >> 14)
     if n_sorted != n_tiles:                                  # sentinel pad

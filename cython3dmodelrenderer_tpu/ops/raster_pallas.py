@@ -125,9 +125,9 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
         # the VPU runs at full lane occupancy (a (P, 1) column layout would
         # waste 127/128 lanes and force relayouts on every op).
         ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, 1), 1)
-        iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, 1), 0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0)
         pxf = (tx * tile_w + ix).astype(jnp.float32)
-        pyf = (ty * tile_h + iy).astype(jnp.float32)
+        pyf = (ty * tile_h + iy).astype(jnp.float32)   # (TH, 1, 1)
 
         zacc[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
 
@@ -163,8 +163,12 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
                 return d[r:r + 1, :].reshape(1, 1, chunk)
 
             def plane(r):
-                # affine tile evaluation → (TH, TW, K)
-                return pxf * row(r) + pyf * row(r + 1) + row(r + 2)
+                # affine tile evaluation → (TH, TW, K); the y-term is
+                # grouped first so it stays a (TH, 1, K)-shaped partial
+                # before the single full-width FMA against pxf (the
+                # left-to-right order would broadcast BOTH adds to full
+                # width — a measured ~5% kernel cost)
+                return pxf * row(r) + (pyf * row(r + 1) + row(r + 2))
 
             l0 = plane(0)
             l1 = plane(3)
@@ -384,7 +388,10 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                 return d[r:r + 1, :].reshape(1, 1, chunk)
 
             def plane(r):
-                return pxf * row(r) + pyf * row(r + 1) + row(r + 2)
+                # y-term grouped first: stays (TH, 1, K) until the single
+                # full-width FMA (same association as the un-grouped
+                # kernel — the two must stay bit-identical)
+                return pxf * row(r) + (pyf * row(r + 1) + row(r + 2))
 
             l0 = plane(0)
             l1 = plane(3)

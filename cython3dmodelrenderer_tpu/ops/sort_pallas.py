@@ -78,12 +78,13 @@ def bitonic_sort_i32(keys: jnp.ndarray, interpret: bool = False):
 
     The length is padded to the next power of two with INT32_MAX (padding
     sorts to the tail); the returned array has the original length. Under
-    ``interpret=True`` this delegates to ``lax.sort`` — bit-identical
-    result, testable on CPU without the (prohibitively slow) interpreted
-    pass unrolling.
+    ``interpret=True`` — or when the default backend is not a TPU (CPU
+    test runs trace this without an interpret flag) — this delegates to
+    ``lax.sort``: bit-identical result (keys are unique in every caller),
+    without the (prohibitively slow) interpreted pass unrolling.
     """
     n0 = keys.shape[0]
-    if interpret:
+    if interpret or jax.default_backend() != "tpu":
         return jax.lax.sort(keys, is_stable=False)
     n = max(256, 1 << (n0 - 1).bit_length())
     if n != n0:

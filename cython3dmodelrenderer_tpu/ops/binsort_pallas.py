@@ -112,44 +112,55 @@ def _make_group_kernel(n_tiles: int, n_sorted: int, group: int, sub: int,
     # tile ``n_tiles`` whose bound is 0, so overrun emits are dropped by the
     # regular bound guard.
     def kernel(pairs_ref, np_ref, gstarts_ref, stids_ref,
-               order_ref, cursors, bases, bounds):
-        # Per-tile slot base (group start + stripe offset) and group bound,
-        # precomputed once so the hot emit path does two fewer SMEM reads
-        # and no group-index arithmetic. Groups are COMPOSED of count-sorted
-        # tiles (stids = tile id at each sorted position): sorted position k
-        # maps to group k//group, stripe k%group. Entry n_tiles is the
-        # sentinel: base 0, bound 0 (nothing ever stores through it).
+               order_ref, cursors, bases, bounds, blocks):
+        # Per-tile slot base (group start + stripe offset), group bound, and
+        # group chunk count, precomputed once so the hot emit path does two
+        # fewer SMEM reads and no group-index arithmetic. Groups are
+        # COMPOSED of count-sorted tiles (stids = tile id at each sorted
+        # position): sorted position k maps to group k//group, stripe
+        # k%group. Entry n_tiles is the sentinel: base 0, bound 0 (nothing
+        # ever stores through it; blocks 1 keeps its divisions defined).
         def init(k, _):
             tile = stids_ref[k]
             g = k // group
             cursors[tile] = 0
             bases[tile] = gstarts_ref[g] + (k % group) * sub
             bounds[tile] = gstarts_ref[g + 1]
+            blocks[tile] = jnp.maximum(
+                (gstarts_ref[g + 1] - gstarts_ref[g]) // (group * sub), 1)
             return 0
 
         jax.lax.fori_loop(0, n_sorted, init, 0)
         cursors[n_tiles] = 0
         bases[n_tiles] = 0
         bounds[n_tiles] = 0
+        blocks[n_tiles] = 1
 
         # Unplaced slots stay uninitialized — they clamp to arbitrary row
         # indices downstream, which is safe because plane_data zeroes the
         # bbox of culled rows (see the SAFETY INVARIANT there): any row that
         # can cover a pixel is in that pixel's own bin at an earlier rank.
 
-        # Placement into group-interleaved slots: group g's chunk j holds
-        # [tile0 ranks sub*j.., tile1, …, tile_{group-1}] as sub-lane
-        # stripes.
+        # LANE-BLOCK placement into group-interleaved slots: within a
+        # stripe, lane r holds the contiguous rank block [r*B, (r+1)*B)
+        # where B is the group's chunk count — so lane order == rank order
+        # and the raster epilogue can break z ties by MIN LANE with no rank
+        # channel at all (round-robin rank = j*sub + lane would interleave
+        # ranks across lanes and need an explicit rank accumulator).
         def emit(i):
             p = pairs_ref[i]
             tile = p & ((1 << 14) - 1)
             tri = p >> 14
             r = cursors[tile]
-            pos = bases[tile] + (r // sub) * (group * sub) + (r % sub)
+            b = blocks[tile]
+            pos = bases[tile] + (r % b) * (group * sub) + (r // b)
 
             # bound by the group's own (capacity-clamped) allocation so an
-            # overflowing group can never stomp its neighbor's slots
-            @pl.when(pos < bounds[tile])
+            # overflowing group can never stomp its neighbor's slots; the
+            # r < b*sub guard matters under the lane-block layout — an
+            # overflowed rank would wrap into a NEIGHBOR STRIPE's lanes
+            # (r // b >= sub) while staying under the group bound
+            @pl.when((pos < bounds[tile]) & (r < b * sub))
             def _():
                 order_ref[pos // 128, pos % 128] = tri
 
@@ -332,6 +343,7 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
             pltpu.SMEM((n_tiles + 1,), jnp.int32),
             pltpu.SMEM((n_tiles + 1,), jnp.int32),
             pltpu.SMEM((n_tiles + 1,), jnp.int32),
+            pltpu.SMEM((n_tiles + 1,), jnp.int32),
         ],
     )
     order = pl.pallas_call(
@@ -443,15 +455,17 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
     rows_sorted = rows[sorted_tri]                    # fast row gather
 
     # ---- closed-form interleave indices, no element gathers
-    # per-chunk group id + group chunk-start, fill-forward over chunks
-    # ((g << 10) | start_c fits: g < 2^11 via n_tiles < 2^14 / group >= 8,
-    # start_c <= slot_cap/128 < 2^10; strictly increasing in g)
+    # per-chunk group id, group chunk count, and group chunk-start, fill-
+    # forward over chunks ((g << 20) | (B << 10) | start_c fits: g < 2^11
+    # via n_tiles < 2^14 / group >= 8, B and start_c <= slot_cap/128 < 2^10;
+    # strictly increasing in g)
     gi = jnp.arange(n_groups, dtype=jnp.int32)
     gword = jax.lax.cummax(
         jnp.zeros((n_chunks,), jnp.int32)
         .at[jnp.where(gchunks > 0, start_c, n_chunks)]
-        .set((gi << 10) | start_c, mode="drop"))
-    g_of_chunk = gword >> 10                           # (n_chunks,)
+        .set((gi << 20) | (gchunks << 10) | start_c, mode="drop"))
+    g_of_chunk = gword >> 20                           # (n_chunks,)
+    b_c = (gword >> 10) & ((1 << 10) - 1)              # group chunk count B
     j_c = jnp.arange(n_chunks, dtype=jnp.int32) - (gword & ((1 << 10) - 1))
     # per-(sorted position) tile run start in the sorted array; expand to a
     # (n_groups, 128) lane table, then ONE row gather per chunk
@@ -461,7 +475,11 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
     tbl2 = jnp.repeat(tbl.reshape(-1, group)[:n_groups], sub, axis=1)
     run0 = tbl2[g_of_chunk]                            # (n_chunks, 128)
     lane = jnp.arange(chunk, dtype=jnp.int32)
-    f_idx = run0 + j_c[:, None] * sub + (lane % sub)[None, :]
+    # LANE-BLOCK rank layout: slot (chunk j, lane l) holds the stripe's
+    # rank (l % sub) * B + j — within a stripe, lane r carries the
+    # contiguous block [r*B, (r+1)*B), so lane order == rank order and the
+    # raster epilogue breaks z ties by MIN LANE (no rank channel needed)
+    f_idx = run0 + (lane % sub)[None, :] * b_c[:, None] + j_c[:, None]
     f_idx = jnp.clip(f_idx.reshape(-1), 0, slot_cap - 1)
 
     binned = rows_sorted[f_idx]

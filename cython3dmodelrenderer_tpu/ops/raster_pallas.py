@@ -252,13 +252,19 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
     Depth resolve is a LANE-LOCAL running minimum in the chunk loop (plain
     compare+selects — the hot path has no cross-lane traffic at all) with
     one segmented cross-lane argmin in the group epilogue. First-writer tie
-    semantics survive via a rank channel: each candidate carries its bin
-    rank ``j*sub + lane%sub`` (bins are sorted by triangle index, so rank
-    order == sequential order); lane-local strict-< keeps the earliest rank
-    per lane, and the epilogue breaks exact z ties by minimum rank. An
-    earlier variant reduced (z, attrs…) tuples with masked-roll windowed
-    doubling PER CHUNK — ~10 us of the ~16 us chunk cost; moving the
-    reduction to the epilogue cut the kernel roughly in half.
+    semantics come FREE from the binner's LANE-BLOCK layout: within a
+    stripe, lane r holds the contiguous bin-rank block [r*B, (r+1)*B)
+    (B = the group's chunk count; bins are sorted by triangle index, so
+    rank order == sequential order). Lane-local strict-< keeps the earliest
+    rank per lane (a lane's ranks grow with the chunk index), and across
+    lanes min-rank == MIN LANE, so the epilogue breaks exact z ties with
+    the lane iota — no rank accumulator, no rank reduction. (An earlier
+    variant reduced (z, attrs…) tuples with masked-roll windowed doubling
+    PER CHUNK — ~10 us of the ~16 us chunk cost; moving the reduction to
+    the epilogue cut the kernel roughly in half. The round-robin
+    predecessor of the lane-block layout needed an explicit rank channel:
+    a third VMEM accumulator plus a select per chunk and a third epilogue
+    reduction per stripe.)
     """
     sub = chunk // group
     gh = group * tile_h
@@ -266,7 +272,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
 
     def kernel(gstarts_ref, gchunks_ref, stids_ref, sstripes_ref,
                binned_ref, bg_ref, out_ref,
-               buf, zacc, racc, attracc, obuf, sems, osems, pref):
+               buf, zacc, attracc, obuf, sems, osems, pref):
         del bg_ref  # aliased to out_ref: pre-filled background
         i = pl.program_id(0)
         n = pl.num_programs(0)
@@ -313,7 +319,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         @pl.when(nchunks > 0)
         def _():
             _raster_group(start, nchunks, i, stids_ref, sstripes_ref,
-                          binned_ref, out_dma, buf, zacc, racc, attracc,
+                          binned_ref, out_dma, buf, zacc, attracc,
                           obuf, sems, pref,
                           gstarts_ref[n] // chunk)
 
@@ -329,14 +335,16 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                         out_dma(jc, s).wait()
 
     def _raster_group(start, nchunks, i, stids_ref, sstripes_ref,
-                      binned_ref, out_dma, buf, zacc, racc, attracc,
+                      binned_ref, out_dma, buf, zacc, attracc,
                       obuf, sems, pref, total_chunks):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
         seg = lane // sub
-        # bin rank within the stripe's lane position: rank = j*sub + lane%sub
-        # (float — int32 lane math lowers poorly); carried per candidate so
-        # the epilogue can break exact z ties by sequential order
-        rk0 = (lane % sub).astype(jnp.float32)             # (1, 1, K)
+        # LANE-BLOCK bin layout (binsort_pallas): within a stripe, lane r
+        # holds the contiguous rank block [r*B, (r+1)*B) (B = this group's
+        # chunk count), so lane order == bin-rank order == sequential
+        # triangle order — exact z ties resolve to the MIN LANE in the
+        # epilogue and no rank accumulator is needed anywhere
+        lanef = lane.astype(jnp.float32)                   # (1, 1, K)
         ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, 1), 1)
         iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0)
         # per-lane pixel-coordinate bases: stripe s rasterizes tile
@@ -352,7 +360,6 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         pyf = (tyv * tile_h + iy).astype(jnp.float32)      # (TH, 1, K)
 
         zacc[:] = jnp.full((tile_h, tile_w, chunk), jnp.inf, jnp.float32)
-        racc[:] = jnp.zeros((tile_h, tile_w, chunk), jnp.float32)
 
         c0 = start // chunk
 
@@ -410,15 +417,15 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             zc = jnp.where(good, z, jnp.inf)
 
             # Lane-local running argmin: strict < keeps the EARLIEST rank
-            # per lane across chunks (rank grows with j). No cross-lane ops
-            # in the chunk loop — the segmented reduction happens once in
-            # the epilogue. NaN guard: loser lanes may hold NaN attr planes
-            # but their zc is +inf, so they never become `better`.
+            # per lane across chunks (a lane's rank grows with j under the
+            # lane-block layout). No cross-lane ops in the chunk loop — the
+            # segmented reduction happens once in the epilogue. NaN guard:
+            # loser lanes may hold NaN attr planes but their zc is +inf, so
+            # they never become `better`.
             better = zc < zacc[:]                        # (TH, TW, K)
             for ch in range(n_attrs):
                 attracc[ch] = jnp.where(better, plane(_ATTR0 + 3 * ch),
                                         attracc[ch])
-            racc[:] = jnp.where(better, rk0 + jnp.float32(sub) * j, racc[:])
             zacc[:] = jnp.where(better, zc, zacc[:])
             return 0
 
@@ -427,7 +434,8 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         # Segmented cross-lane argmin per stripe; each finished tile block
         # DMAs straight to its image position (empty stripes skip — the
         # aliased background already covers them). Exact z ties break by
-        # minimum rank = sequential first-writer order.
+        # MINIMUM LANE = minimum rank = sequential first-writer order
+        # (lane-block bin layout).
         # (Measured dead ends here: a (TH, TW, G, sub)-reshaped single
         # reduction does not compile — Mosaic rejects the lane-dim shape
         # cast 128 → GxSUB, "infer-vector-layout: unsupported shape cast";
@@ -436,7 +444,6 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         # compiles but measures ~8% SLOWER than the masked reductions —
         # lane rolls and single-lane extracts are relayout-priced.)
         zfin = zacc[:]
-        rfin = racc[:]
 
         afin = attracc[:]                                # (n_attrs, TH, TW, K)
 
@@ -445,8 +452,8 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             zt = jnp.min(jnp.where(inseg, zfin, jnp.inf), axis=2)
             zt_out = jnp.where(jnp.isinf(zt), jnp.float32(z_init), zt)
             cand = inseg & (zfin == zt[..., None])
-            rmin = jnp.min(jnp.where(cand, rfin, jnp.inf), axis=2)
-            win = cand & (rfin == rmin[..., None])       # one-hot per pixel
+            lmin = jnp.min(jnp.where(cand, lanef, jnp.inf), axis=2)
+            win = cand & (lanef == lmin[..., None])      # one-hot per pixel
             has = ~jnp.isinf(zt)
             # all attr channels share the win mask — ONE fused reduction
             # over the stacked (n_attrs, TH, TW, K) accumulator instead of
@@ -490,7 +497,6 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, rows_used, chunk), jnp.float32),
-            pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
             pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
             pltpu.VMEM((n_attrs, tile_h, tile_w, chunk), jnp.float32),
             pltpu.VMEM((2, group, tile_h, n_out * tile_w), jnp.float32),

@@ -333,7 +333,8 @@ def test_binsort_grouped_overflow_clamps_and_unroll_tail():
     # ample capacity: every (triangle, tile) pair must be placed exactly
     # once in its tile's stripe slots (count-sorted composition: tile at
     # sorted position k lives in group k//group, stripe k%group), in
-    # ascending triangle order
+    # ascending triangle order under the LANE-BLOCK layout (stripe lane r
+    # holds the contiguous rank block [r*B, (r+1)*B), B = group chunks)
     order, gstarts, gchunks, stids, sstripes, tile_counts, total, _ = \
         bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty, slot_cap=ample,
                          group=group, sub=sub, interpret=True)
@@ -351,7 +352,9 @@ def test_binsort_grouped_overflow_clamps_and_unroll_tail():
                     and ty0n[tri] <= tyv < ty0n[tri] + cyn[tri])]
         k = sortpos[tile]
         base = gstarts[k // group] + (k % group) * sub
-        got = [order[base + (r // sub) * (group * sub) + r % sub]
+        b = max(int((gstarts[k // group + 1] - gstarts[k // group])
+                    // (group * sub)), 1)
+        got = [order[base + (r % b) * (group * sub) + r // b]
                for r in range(tile_counts[tile])]
         assert got == want, f"tile {tile}: {got} != {want}"
     # count-sorted composition: group chunk demand must equal its largest

@@ -75,24 +75,32 @@ class _DemandReader:
         self.lock = threading.Lock()
         self.max_demand = 0   # peak overflowing demand since the last take()
         self.gen = 0          # bumps on model change; stale reports ignored
+        self.seq_done = 0     # highest dispatch seq fully processed (FIFO)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         _LIVE_READERS.add(self)
 
-    def put(self, total, cap) -> None:
+    def put(self, total, cap, seq: int = 0) -> None:
         # called from the dispatch thread only (same thread as invalidate,
         # so the gen snapshot is consistent without the lock)
-        self.q.put((total, cap, self.gen))
+        self.q.put((total, cap, self.gen, seq))
 
     def invalidate(self) -> None:
         with self.lock:
             self.gen += 1
             self.max_demand = 0
 
-    def take(self) -> int:
+    def take(self):
+        """Atomically (pending overflow demand, highest processed seq).
+
+        One lock acquisition for both, so a caller seeing demand == 0 with
+        seq_done >= its newest dispatch seq knows that frame was processed
+        AND found complete — the pair can't be torn by a report landing
+        between two separate reads.
+        """
         with self.lock:
             demand, self.max_demand = self.max_demand, 0
-        return demand
+            return demand, self.seq_done
 
     def stop(self) -> None:
         self.q.put(self._SHUTDOWN)
@@ -103,7 +111,7 @@ class _DemandReader:
             try:
                 if item is self._SHUTDOWN:
                     return
-                total, cap, gen = item
+                total, cap, gen, seq = item
                 try:
                     t = int(total)
                 except Exception:
@@ -111,6 +119,9 @@ class _DemandReader:
                 with self.lock:
                     if t > cap and gen == self.gen:
                         self.max_demand = max(self.max_demand, t)
+                    # seq is globally monotone across gens (a stale item's
+                    # seq predates any newer dispatch), so unconditional
+                    self.seq_done = max(self.seq_done, seq)
             finally:
                 self.q.task_done()
 
@@ -178,6 +189,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._reader = None          # _DemandReader, created on first use
         self._latest = None          # (tv, tn, tc, cap) of newest dispatch
         self._validated = True       # no un-validated dispatches outstanding
+        self._dispatch_seq = 0       # monotone id per tracked dispatch
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
         from .ops.raster_pallas import GROUP
         self._group: int = GROUP
@@ -252,6 +264,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             # late report must not re-render superseded geometry over the
             # empty-scene buffers
             self._invalidate_pending()
+            self._validated = True   # an empty frame is trivially complete
             h, w = self.get_size()
             if post != "none":
                 self._post_image = jnp.zeros((h, w, 3), jnp.uint8)
@@ -299,6 +312,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         chunk = max(8, min(512, budget // (bbox * bbox)))
         out = raster_ref.rasterize(tris_screen, tri_colors, tri_norms, active,
                                    self.config, bbox_size=bbox, chunk=chunk)
+        self._validated = True   # jnp frames have no capacity to overflow
         if post != "none":
             from .ops.illumination import cast_u8, lambert_to_u8
 
@@ -343,7 +357,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             # (and their device buffers) stay garbage-collectable.
             weakref.finalize(self, self._reader.stop)
         self._validated = False
-        self._reader.put(self._last_total, self._p_cap)
+        self._dispatch_seq += 1
+        self._reader.put(self._last_total, self._p_cap, self._dispatch_seq)
 
     def _invalidate_pending(self) -> None:
         """Drop queued/recorded demands (model changed — they're meaningless)."""
@@ -371,8 +386,12 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             return False
         if strict:
             self._reader.q.join()
-        demand = self._reader.take()
+        demand, seq_done = self._reader.take()
         if demand == 0:
+            # the reader has processed the newest dispatch's demand and
+            # found it complete → the served frame is no longer provisional
+            if seq_done >= self._dispatch_seq:
+                self._validated = True
             return False
         if demand > self._p_cap:
             self._p_cap = binning.capacity_bucket(2 * demand, 128)
@@ -434,15 +453,38 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
     # The reader detects an overflow about one frame after it computes, so
     # truncation is repaired within a frame or two; validate_capacity() gives
     # the immediate strict guarantee when needed.
-    def snapshot_buffers(self):
+    @property
+    def frame_provisional(self) -> bool:
+        """True while the newest frame's completeness is still unconfirmed.
+
+        The overflow detector is eventually consistent: a frame whose bin
+        demand exceeded the static capacity renders truncated and is
+        repaired a frame or two later, when the background reader's blocking
+        demand read lands. Until ``validate_capacity()`` (or the next
+        reader-confirmed drain) establishes the newest frame fit, buffers
+        served by the getters are PROVISIONAL — complete in the common case
+        (fixed-model scenes never overflow), but not yet guaranteed. Costs a
+        lock-free bool read; no device traffic.
+        """
+        return not self._validated
+
+    def snapshot_buffers(self, strict: bool = False):
         """One CONSISTENT (color, z, normals, post_image) snapshot.
 
         Settles queued overflow reports exactly once before reading, so all
         four tensors come from the same render generation — per-getter
         settling could repair between two reads and hand the caller a torn
         frame (e.g. pre-repair color with post-repair z).
+
+        The snapshot may still be PROVISIONAL (see ``frame_provisional``):
+        an overflow detected after this read repairs the next frame, not
+        this one. ``strict=True`` calls ``validate_capacity()`` first —
+        a device round trip — so the returned frame is guaranteed complete.
         """
-        self._settle_pending()
+        if strict:
+            self.validate_capacity()
+        else:
+            self._settle_pending()
         return self._color, self._z, self._normals, self._post_image
 
     def get_color_buffer(self) -> jnp.ndarray:

@@ -256,6 +256,37 @@ def test_overflow_auto_recovery():
     np.testing.assert_array_equal(gotz, np.asarray(fresh.get_z_buffer()))
 
 
+def test_frame_provisional_signal():
+    """``frame_provisional`` tells callers whether the frame the getters
+    just served is still awaiting its completeness verdict: True right
+    after a dispatch, False once the background reader processed the
+    demand cleanly (bounded wait — the reader is asynchronous) or after
+    ``snapshot_buffers(strict=True)`` / ``validate_capacity()``."""
+    import time
+
+    from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+
+    tris, colors, _ = random_scene(t=64, seed=7)
+    tris[..., 2] = 1.0 + 0.01 * tris[..., 2]
+    normals = np.full((64, 3, 3), [0.0, 0.0, -1.0], np.float32)
+    filler = AdvancedPixelBufferFiller(64, 64, fov=60, backend="pallas",
+                                       interpret=True)
+    assert filler.frame_provisional is False      # nothing dispatched yet
+    filler.render_model(_ArrayModel(tris, normals, colors))
+    # lazily decays to False once the reader confirms the frame fit
+    deadline = time.monotonic() + 60.0
+    while filler.frame_provisional and time.monotonic() < deadline:
+        time.sleep(0.02)
+        filler.get_color_buffer()                 # getters drain reports
+    assert filler.frame_provisional is False
+
+    # strict snapshot resolves immediately (and consistently)
+    filler.render_model(_ArrayModel(tris, normals, colors))
+    snap = filler.snapshot_buffers(strict=True)
+    assert filler.frame_provisional is False
+    assert len(snap) == 4
+
+
 def test_overflow_lazy_drain_repairs_growing_sweep():
     """Without explicit validate_capacity() calls, the background demand
     reader must detect a mid-sweep overflow and the lazy getter drain must

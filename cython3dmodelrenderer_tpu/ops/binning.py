@@ -12,9 +12,9 @@ Stages (all jit, static shapes):
    three barycentric edge functions ``λ_i(x, y) = A_i·x + B_i·y + C_i``
    (algebraically identical to the reference's formula at
    ``py filler:176-178``, divided through by each λ's own denominator) and of
-   the interpolated-depth plane ``z(x, y)``, plus the clipped ceil-bbox and
-   the triangle's priority. Packed into one (T, 32) float32 row per triangle
-   so the kernel can DMA a chunk with a single contiguous copy.
+   the interpolated-depth plane ``z(x, y)``, plus the clipped ceil-bbox.
+   Packed into one (T, ROW_WIDTH) float32 row per triangle so the kernel
+   can DMA a chunk with a single contiguous copy.
 2. ``bin_pairs`` — expand triangles into (tile, triangle) pairs over their
    bbox tile span, sort by tile (stable: within a tile, triangle order — and
    hence depth-tie priority — is preserved), and gather the plane rows into
@@ -32,15 +32,16 @@ from ..config import RenderConfig
 from .raster_ref import bbox_ceil
 
 # float32 kernel-row layout (see plane_data): 12 edge/z plane coefs
-# [A0 B0 C0 A1 B1 C1 A2 B2 C2 Az Bz Cz], 4 bbox [xl xr yl yr], priority,
-# then 18 attribute-plane coefs (6 channels B G R nx ny nz × [A, B, C]) =
-# 35 live columns, padded to the next power of two. 64 (not a full
-# 128-lane row) halves the HBM traffic of the per-pair gather/transpose
-# glue; Mosaic handles the 64-wide minor dim fine (lane-padded in VMEM).
+# [A0 B0 C0 A1 B1 C1 A2 B2 C2 Az Bz Cz], 4 bbox [xl xr yl yr], then 18
+# attribute-plane coefs (6 channels B G R nx ny nz × [A, B, C]) = 34 live
+# columns, padded to the next power of two. 64 (not a full 128-lane row)
+# halves the HBM traffic of the per-pair gather/transpose glue; Mosaic
+# handles the 64-wide minor dim fine (lane-padded in VMEM). (No priority
+# column: depth-tie order is POSITIONAL — bins are sorted by triangle
+# index and the kernels resolve exact z ties by minimum lane/chunk.)
 ROW_WIDTH = 64
 IDX_BBOX = 12
-IDX_PRIO = 16
-IDX_ATTRS = 17
+IDX_ATTRS = 16
 N_ATTRS = 6
 
 
@@ -83,7 +84,6 @@ def plane_data(tris_screen: jnp.ndarray, active: jnp.ndarray,
     cz = c0 * z0 + c1 * z1 + c2 * z2
 
     xl, xr, yl, yr = bbox_ceil(tris_screen[..., :2], w, h)
-    prio = jnp.arange(t, dtype=jnp.int32)
 
     # SAFETY INVARIANT: a culled/empty triangle's packed row must have an
     # empty bbox. Unplaced (stale) bin slots clamp to arbitrary row indices;
@@ -98,8 +98,7 @@ def plane_data(tris_screen: jnp.ndarray, active: jnp.ndarray,
 
     cols = [a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz,
             xl.astype(jnp.float32), xr.astype(jnp.float32),
-            yl.astype(jnp.float32), yr.astype(jnp.float32),
-            prio.astype(jnp.float32)]
+            yl.astype(jnp.float32), yr.astype(jnp.float32)]
 
     if colors is not None:
         # normals=None → fast-shade mode: only the 3 (pre-shaded) color

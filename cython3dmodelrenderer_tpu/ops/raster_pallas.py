@@ -51,11 +51,11 @@ from . import binning
 
 _ROW = binning.ROW_WIDTH
 _ATTR0 = binning.IDX_ATTRS
-# rows actually carrying data: 12 plane coeffs + 4 bbox + 1 priority +
-# 3*n_attrs attribute-plane coeffs; the rest of the 64-wide row is zero
-# padding. The grouped kernel's pre-transposed layout trims the DMA to
-# these rows (~45% less chunk traffic than the full 64-row block; fast-
-# shade mode carries 3 attr channels instead of 6, trimming further).
+# rows actually carrying data: 12 plane coeffs + 4 bbox + 3*n_attrs
+# attribute-plane coeffs; the rest of the 64-wide row is zero padding.
+# The grouped kernel's pre-transposed layout trims the DMA to these rows
+# (~47% less chunk traffic than the full 64-row block; fast-shade mode
+# carries 3 attr channels instead of 6, trimming further).
 def _rows_used(n_attrs: int) -> int:
     return binning.IDX_ATTRS + 3 * n_attrs
 
@@ -157,7 +157,7 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
             # coefficients — keep the vector relayout)
             d = jnp.swapaxes(buf[slot], 0, 1)           # (ROW, K)
 
-            # rows: [A0 B0 C0 A1 B1 C1 A2 B2 C2 Az Bz Cz xl xr yl yr prio
+            # rows: [A0 B0 C0 A1 B1 C1 A2 B2 C2 Az Bz Cz xl xr yl yr
             #        18×attr-plane]
             def row(r):
                 return d[r:r + 1, :].reshape(1, 1, chunk)
@@ -643,8 +643,8 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
 
         nty_g = -(-nty // group) * group
         # sorted-gather binning (bitonic key sort + vectorized interleave):
-        # rows pre-trimmed to the live columns (12 planes + bbox + prio +
-        # attr coefs) — ~45% less row-gather traffic than 64-wide rows
+        # rows pre-trimmed to the live columns (12 planes + bbox + attr
+        # coefs) — ~47% less row-gather traffic than 64-wide rows
         (binned, gstarts, gchunks, stids, sstripes, tile_counts, total_slots,
          n_active) = \
             bin_gather_grouped(rows[:, :_rows_used(n_attrs)], tx0, cx, ty0,

@@ -599,8 +599,9 @@ class EdgeOnlyPixelBufferFiller(PixelBufferFiller):
             active = jnp.ones((t * 3,), bool)
             # rasterize_lines clips each line to the viewport before
             # stepping (phase-preserving), so this only needs to cover the
-            # ≤ max(h, w)+1 on-screen steps — endpoints arbitrarily far
-            # off-screen still draw their visible segment exactly
+            # ≤ max(h, w)+1 on-screen steps — endpoints up to ~16 million
+            # px off-screen draw their visible segment exactly (see
+            # wireframe._floordiv_exact for the precision envelope)
             max_steps = 2 * max(h, w)
             return wireframe.rasterize_lines(color_arr, starts, ends,
                                              line_colors, active, h, w,

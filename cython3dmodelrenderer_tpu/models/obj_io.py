@@ -231,7 +231,15 @@ def _try_native(filename: str, silent: bool,
     The native parser handles the v/vt/vn/f records; mtllib resolution and
     texture loading stay in Python (they are one-shot file reads).
     Returns None when the shared library is absent or parsing fails.
+
+    Strict mode (``silent=False``) always uses the Python parser: the C++
+    scanner skips malformed lines without reporting them, so it cannot
+    honor the reference's raise-on-first-error contract (model.py:70-73),
+    and strict parses are an error-checking path where the speedup is
+    irrelevant.
     """
+    if not silent:
+        return None
     try:
         from ..native import objparse_native
     except Exception:

@@ -176,6 +176,75 @@ def _make_group_kernel(n_tiles: int, n_sorted: int, group: int, sub: int,
     return kernel
 
 
+def _expand_pairs(tx0, cx, ty0, cy, ntx: int, slot_cap: int):
+    """Vectorized (triangle, tile) pair expansion, shared by both grouped
+    binners (their outputs must stay bit-identical for the documented
+    oracle equivalence — keep this the single copy).
+
+    Enumerates ALL (triangle, tile) pairs XLA-side, in triangle order with
+    each triangle's covered tiles in row-major (dy, dx) order — exactly the
+    sequential order the depth-tie rule needs. Run expansion: scatter each
+    active triangle's metadata to its run start (run starts = exclusive
+    cumsum of per-triangle pair counts), then fill forward with a cummax —
+    valid because every scattered word is strictly increasing in triangle
+    order (run starts ascend by >= 1 per active triangle, so off<<6
+    dominates cx; the triangle index dominates the base tile). Two scatters
+    total (XLA's 1D scatter is a serial loop, so each one matters).
+
+    NOTE: (tri << 14) | tile reaches exactly INT32_MAX at the callers'
+    asserted limits (tri = 2^17-1, tile = 2^14-1) — ZERO headroom. Widening
+    either the 17b triangle or 14b tile budget overflows int32 to negative
+    and silently breaks the cummax fill-forward; re-derive the bound first.
+
+    Returns (tri_p, tile_p, n_pairs): slot i < n_pairs holds the i-th
+    pair's triangle id and tile id; slots >= n_pairs hold stale values the
+    caller must mask with its own sentinel.
+    """
+    t = tx0.shape[0]
+    act = (cx > 0) & (cy > 0)
+    pc = jnp.where(act, cx * cy, 0)              # pairs per triangle
+    off = jnp.cumsum(pc) - pc                    # run start per triangle
+    total_pairs = off[-1] + pc[-1]
+    n_pairs = jnp.minimum(total_pairs, slot_cap)
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
+    startpos = jnp.where(act, off, slot_cap)     # inactive → dropped
+    zeros = jnp.zeros((slot_cap,), jnp.int32)
+
+    def ffill(vals):   # vals strictly increasing in active-triangle order
+        return jax.lax.cummax(zeros.at[startpos].set(vals, mode="drop"))
+
+    a_p = ffill((off << 6) | cx)                 # [0:6] cx, [6:] run start
+    b_p = ffill((tri_ids << 14) | (ty0 * ntx + tx0))   # [0:14] base tile
+    k = jnp.arange(slot_cap, dtype=jnp.int32) - (a_p >> 6)  # rank in run
+    cx_p = a_p & 63
+    dy = k // jnp.maximum(cx_p, 1)
+    dx = k - dy * cx_p
+    tile_p = (b_p & ((1 << 14) - 1)) + dy * ntx + dx
+    return b_p >> 14, tile_p, n_pairs
+
+
+def _clamp_group_chunks(gchunks, allowed: int):
+    """CLAMP the cumulative chunk layout to the static capacity: on
+    overflow, trailing groups lose chunks (missing geometry — detectable
+    via ``total_slots > slot_cap``) but the raster kernel's DMA reads stay
+    in bounds. Shared by both grouped binners (must agree bit-exactly).
+
+    Returns (gchunks, gstarts, start_c, total_slots); ``gstarts`` has
+    length n_groups + 1 in SLOTS — the extra tail entry (= total clamped
+    chunks * 128) lets the raster kernel read the global chunk count for
+    cross-group prefetch.
+    """
+    csum = jnp.cumsum(gchunks)
+    total_slots = 128 * csum[-1]
+    cum_c = jnp.minimum(csum.astype(jnp.int32), allowed)
+    start_c = jnp.minimum(
+        jnp.concatenate([jnp.zeros(1, jnp.int32),
+                         csum[:-1].astype(jnp.int32)]), allowed)
+    gchunks = cum_c - start_c
+    gstarts = 128 * jnp.concatenate([start_c, cum_c[-1:]])
+    return gchunks, gstarts, start_c, total_slots
+
+
 def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
                     group: int, sub: int):
     """Per-tile counts, sorted group composition, and per-group chunk demand
@@ -196,6 +265,12 @@ def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
     ``group`` — sstripes (n_sorted,) i32 stripe demand per sorted position,
     and gchunks (n_groups,) i32).
     """
+    # the packed sort key below gives the tile id 14 bits; callers past
+    # this budget must degrade to the un-grouped path BEFORE sizing
+    # (raster_pallas.grouped_slot_total does) — a silent bleed into the
+    # inv field would mis-sort and produce garbage capacity totals
+    assert ntx * nty < (1 << 14), \
+        "image too large for the packed tile-sort key"
     xs = jnp.arange(ntx, dtype=jnp.int32)[None, :]
     ys = jnp.arange(nty, dtype=jnp.int32)[None, :]
     mx = ((xs >= tx0[:, None]) & (xs < (tx0 + cx)[:, None])).astype(jnp.float32)
@@ -272,59 +347,15 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
 
     tile_counts, stids, sstripes, gchunks = group_histogram(
         tx0, cx, ty0, cy, ntx, nty, group, sub)
-    csum = jnp.cumsum(gchunks)
-    total_slots = 128 * csum[-1]
-    # CLAMP the chunk layout to the static capacity: on overflow, trailing
-    # groups lose chunks (missing geometry — detectable via total_slots >
-    # slot_cap) but the raster kernel's DMA reads stay in bounds.
-    allowed = slot_cap // 128
-    cum_c = jnp.minimum(csum.astype(jnp.int32), allowed)
-    start_c = jnp.minimum(
-        jnp.concatenate([jnp.zeros(1, jnp.int32),
-                         csum[:-1].astype(jnp.int32)]), allowed)
-    gchunks = cum_c - start_c
-    # length n_groups + 1: the extra tail entry (= total clamped chunks)
-    # lets the raster kernel read the global chunk count for cross-group
-    # prefetch
-    gstarts = 128 * jnp.concatenate([start_c, cum_c[-1:]])
+    gchunks, gstarts, _start_c, total_slots = _clamp_group_chunks(
+        gchunks, slot_cap // 128)
 
-    # Enumerate ALL (triangle, tile) pairs XLA-side, in triangle order with
-    # each triangle's covered tiles in row-major (dy, dx) order — exactly
-    # the sequential order the depth-tie rule needs. Vectorized run
-    # expansion: scatter each active triangle's metadata to its run start
-    # (run starts = exclusive cumsum of per-triangle pair counts), then
-    # fill forward with a cummax — valid because every scattered word is
-    # strictly increasing in triangle order (run starts ascend by >= 1 per
-    # active triangle, so off<<6 dominates cx; the triangle index dominates
-    # the base tile). Two scatters total (XLA's 1D scatter is a serial
-    # loop, so each one matters). The scalar placement kernel is left with
-    # one branchless cursor-bump emit per pair.
+    # Pair expansion (shared with bin_gather_grouped); the scalar placement
+    # kernel is left with one branchless cursor-bump emit per pair.
     assert t < (1 << 17), "pair packing supports up to 2^17 triangles"
     assert slot_cap < (1 << 17), "pair packing supports up to 2^17 slots"
-    act = (cx > 0) & (cy > 0)
-    pc = jnp.where(act, cx * cy, 0)              # pairs per triangle
-    off = jnp.cumsum(pc) - pc                    # run start per triangle
-    total_pairs = off[-1] + pc[-1]
-    n_pairs = jnp.minimum(total_pairs, slot_cap)
-    tri_ids = jnp.arange(t, dtype=jnp.int32)
-    startpos = jnp.where(act, off, slot_cap)     # inactive → dropped
-    zeros = jnp.zeros((slot_cap,), jnp.int32)
-
-    def ffill(vals):   # vals strictly increasing in active-triangle order
-        return jax.lax.cummax(zeros.at[startpos].set(vals, mode="drop"))
-
-    a_p = ffill((off << 6) | cx)                 # [0:6] cx, [6:] run start
-    # NOTE: (tri << 14) | tile reaches exactly INT32_MAX at the asserted
-    # limits (tri = 2^17-1, tile = 2^14-1) — ZERO headroom. Widening either
-    # the 17b triangle or 14b tile budget overflows int32 to negative and
-    # silently breaks the cummax fill-forward; re-derive the bound first.
-    b_p = ffill((tri_ids << 14) | (ty0 * ntx + tx0))   # [0:14] base tile
-    k = jnp.arange(slot_cap, dtype=jnp.int32) - (a_p >> 6)  # rank in run
-    cx_p = a_p & 63
-    dy = k // jnp.maximum(cx_p, 1)
-    dx = k - dy * cx_p
-    tile_p = (b_p & ((1 << 14) - 1)) + dy * ntx + dx
-    pairs = ((b_p >> 14) << 14) | tile_p         # [0:14] tile, [14:] triangle
+    tri_p, tile_p, n_pairs = _expand_pairs(tx0, cx, ty0, cy, ntx, slot_cap)
+    pairs = (tri_p << 14) | tile_p               # [0:14] tile, [14:] triangle
     # tail past the true pair count → sentinel pairs targeting the virtual
     # tile n_tiles (bound 0, never stored); lets the kernel's unrolled loop
     # overrun the count by up to unroll-1 slots safely (slot_cap % 128 == 0
@@ -412,41 +443,16 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
 
     tile_counts, stids, sstripes, gchunks = group_histogram(
         tx0, cx, ty0, cy, ntx, nty, group, sub)
-    csum = jnp.cumsum(gchunks)
-    total_slots = chunk * csum[-1]
-    allowed = n_chunks
-    cum_c = jnp.minimum(csum.astype(jnp.int32), allowed)
-    start_c = jnp.minimum(
-        jnp.concatenate([jnp.zeros(1, jnp.int32),
-                         csum[:-1].astype(jnp.int32)]), allowed)
-    gchunks = cum_c - start_c
-    gstarts = chunk * jnp.concatenate([start_c, cum_c[-1:]])
+    gchunks, gstarts, start_c, total_slots = _clamp_group_chunks(
+        gchunks, n_chunks)
     n_groups = int(gchunks.shape[0])
 
-    # ---- pair expansion (same ffill machinery as bin_sort_grouped) but
-    # packed as (tile << 17) | tri for the single-operand stable sort
-    act = (cx > 0) & (cy > 0)
-    pc = jnp.where(act, cx * cy, 0)
-    off = jnp.cumsum(pc) - pc
-    total_pairs = off[-1] + pc[-1]
-    n_pairs = jnp.minimum(total_pairs, slot_cap)
-    tri_ids = jnp.arange(t, dtype=jnp.int32)
-    startpos = jnp.where(act, off, slot_cap)
-    zeros = jnp.zeros((slot_cap,), jnp.int32)
-
-    def ffill(vals):
-        return jax.lax.cummax(zeros.at[startpos].set(vals, mode="drop"))
-
-    a_p = ffill((off << 6) | cx)
-    b_p = ffill((tri_ids << 14) | (ty0 * ntx + tx0))
-    k = jnp.arange(slot_cap, dtype=jnp.int32) - (a_p >> 6)
-    cx_p = a_p & 63
-    dy = k // jnp.maximum(cx_p, 1)
-    dx = k - dy * cx_p
-    tile_p = (b_p & ((1 << 14) - 1)) + dy * ntx + dx
-    # (tile << 17) | tri reaches exactly INT32_MAX at the asserted limits —
-    # zero headroom, same exact fit as bin_sort_grouped's packing
-    keys = (tile_p << 17) | (b_p >> 14)
+    # ---- pair expansion (shared with bin_sort_grouped) packed as
+    # (tile << 17) | tri for the single-operand stable sort; reaches
+    # exactly INT32_MAX at the asserted limits — zero headroom, same exact
+    # fit as bin_sort_grouped's packing
+    tri_p, tile_p, n_pairs = _expand_pairs(tx0, cx, ty0, cy, ntx, slot_cap)
+    keys = (tile_p << 17) | tri_p
     idx = jnp.arange(slot_cap, dtype=jnp.int32)
     keys = jnp.where(idx < n_pairs, keys, jnp.int32(n_tiles) << 17)
 
@@ -456,17 +462,30 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
 
     # ---- closed-form interleave indices, no element gathers
     # per-chunk group id, group chunk count, and group chunk-start, fill-
-    # forward over chunks ((g << 20) | (B << 10) | start_c fits: g < 2^11
-    # via n_tiles < 2^14 / group >= 8, B and start_c <= slot_cap/128 < 2^10;
-    # strictly increasing in g)
+    # forward over chunks. B and start_c <= slot_cap/128 < 2^10 (slot_cap
+    # < 2^17 asserted); the single packed word gives g 11 bits, enough
+    # only while n_groups <= 2048 — group < 8 can push n_groups past that
+    # (n_tiles < 2^14 / group), where we split into two fill-forward words
+    # (each strictly increasing in g, 21b g + 10b payload).
     gi = jnp.arange(n_groups, dtype=jnp.int32)
-    gword = jax.lax.cummax(
-        jnp.zeros((n_chunks,), jnp.int32)
-        .at[jnp.where(gchunks > 0, start_c, n_chunks)]
-        .set((gi << 20) | (gchunks << 10) | start_c, mode="drop"))
-    g_of_chunk = gword >> 20                           # (n_chunks,)
-    b_c = (gword >> 10) & ((1 << 10) - 1)              # group chunk count B
-    j_c = jnp.arange(n_chunks, dtype=jnp.int32) - (gword & ((1 << 10) - 1))
+    gpos = jnp.where(gchunks > 0, start_c, n_chunks)
+    zc = jnp.zeros((n_chunks,), jnp.int32)
+    if n_groups <= (1 << 11):
+        gword = jax.lax.cummax(
+            zc.at[gpos].set((gi << 20) | (gchunks << 10) | start_c,
+                            mode="drop"))
+        g_of_chunk = gword >> 20                       # (n_chunks,)
+        b_c = (gword >> 10) & ((1 << 10) - 1)          # group chunk count B
+        s_c = gword & ((1 << 10) - 1)                  # group chunk start
+    else:
+        w1 = jax.lax.cummax(
+            zc.at[gpos].set((gi << 10) | start_c, mode="drop"))
+        w2 = jax.lax.cummax(
+            zc.at[gpos].set((gi << 10) | gchunks, mode="drop"))
+        g_of_chunk = w1 >> 10
+        s_c = w1 & ((1 << 10) - 1)
+        b_c = w2 & ((1 << 10) - 1)
+    j_c = jnp.arange(n_chunks, dtype=jnp.int32) - s_c
     # per-(sorted position) tile run start in the sorted array; expand to a
     # (n_groups, 128) lane table, then ONE row gather per chunk
     pstart = jnp.concatenate(

@@ -476,7 +476,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
 
 
 def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
-                          slot_cap: int, ntx: int, nty: int,
+                          ntx: int, nty: int,
                           tile_h: int, tile_w: int, chunk: int, group: int,
                           z_init: float, interpret: bool,
                           n_attrs: int = binning.N_ATTRS):
@@ -652,7 +652,7 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
                                group=group, sub=chunk // group,
                                interpret=interpret)
         chans = _raster_tiles_grouped(
-            binned, gstarts, gchunks, stids, sstripes, p_cap, ntx, nty_g,
+            binned, gstarts, gchunks, stids, sstripes, ntx, nty_g,
             tile_h, tile_w, chunk, group, config.z_init, interpret, n_attrs)
         cap_used = total_slots
     else:
@@ -684,15 +684,26 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
 def grouped_slot_total(tris_screen, active, config: RenderConfig,
                        tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 128,
                        group: int = GROUP):
-    """Slot count a grouped frame needs (device scalar; one sizing sync)."""
+    """Slot count a grouped frame needs (device scalar; one sizing sync).
+
+    Sizing MUST mirror ``_stage_b``'s dispatch decision: a workload past
+    the packed grouped binner's static budgets degrades there to the
+    un-grouped path, whose capacity demand is the raw pair count — so this
+    returns the pair total for such workloads instead of feeding an
+    over-budget geometry into ``group_histogram`` (whose packed sort key
+    would silently corrupt at >= 2^14 tiles).
+    """
     from .binsort_pallas import group_histogram
 
     sub = chunk // group
-    _rows, tx0, cx, ty0, cy, _counts = binning.plane_data(
+    _rows, tx0, cx, ty0, cy, counts = binning.plane_data(
         tris_screen, active, config, tile_h, tile_w)
     ntx = -(-config.width // tile_w)
     nty = -(-config.height // tile_h)
     nty_g = -(-nty // group) * group
+    t = int(tx0.shape[0])
+    if not (t < (1 << 17) and ntx <= 63 and ntx * nty_g < (1 << 14)):
+        return jnp.sum(counts)        # un-grouped path's demand
     _tile_counts, _stids, _sstripes, gchunks = group_histogram(
         tx0, cx, ty0, cy, ntx, nty_g, group, sub)
     return 128 * jnp.sum(gchunks)

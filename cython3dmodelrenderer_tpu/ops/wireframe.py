@@ -37,14 +37,19 @@ def _line_params(p1: jnp.ndarray, p2: jnp.ndarray):
 
 def _floordiv_exact(num_f: jnp.ndarray, num_i: jnp.ndarray,
                     den: jnp.ndarray) -> jnp.ndarray:
-    """Exact ``floor(num / den)`` where ``num`` may overflow int32.
+    """``floor(num / den)`` where ``num`` may overflow int32.
 
     ``num_f`` is the numerator in float32 (approximate), ``num_i`` the same
     numerator computed with WRAPPING int32 arithmetic (exact mod 2^32), and
-    ``den > 0`` a true int32. The float estimate lands within a few quotient
-    units of the truth, so the residual ``num − den·q̂`` is small enough to
-    be exact under two's-complement wraparound — one small floor-division
-    corrects the estimate exactly.
+    ``den > 0`` a true int32. The float estimate lands within
+    ``~num·2⁻²³`` of the truth, so the residual ``num − den·q̂`` recovers
+    the exact value under two's-complement wraparound as long as that
+    error stays below 2³¹ — i.e. the result is EXACT for ``num < ~2⁵³``
+    and silently drifts beyond. For the line-clip numerators (products of
+    a span and an off-screen distance) this bounds the exact envelope to
+    endpoint coordinates within ~±2²⁴ (16.7M px) of the viewport; the
+    reference's per-pixel walk would need minutes of stepping per line to
+    even reach that regime (line_bresenham.py:6-45).
     """
     qhat = jnp.floor(num_f / den.astype(jnp.float32)).astype(jnp.int32)
     resid = num_i - den * qhat            # wraps; exact because it is small
@@ -68,10 +73,13 @@ def rasterize_lines(color: jnp.ndarray,
       max_steps: static bound on ON-SCREEN pixels per line; must be
         ≥ max(height, width) + 1. Lines are parametrically clipped to the
         viewport before stepping (phase-preserving: the step counter still
-        runs from the original ``p1``), so endpoints arbitrarily far
-        off-screen draw their visible segment exactly like the reference's
-        per-pixel bounds-dropping walk (line_bresenham.py:6-45,
-        buffer.py:66-69).
+        runs from the original ``p1``), so far off-screen endpoints draw
+        their visible segment exactly like the reference's per-pixel
+        bounds-dropping walk (line_bresenham.py:6-45, buffer.py:66-69).
+        Precision envelope: exact for endpoint coordinates within ~±2²⁴
+        (16.7M px); beyond that the clip's float-corrected divisions (see
+        ``_floordiv_exact``) can drift the visible segment's minor
+        coordinate.
 
     Line index is the overwrite priority: the highest-index line covering a
     pixel wins, matching the reference's sequential draw order.

@@ -87,6 +87,19 @@ def test_malformed_raises_when_not_silent(tmp_path):
         obj_io._load_obj_python(path, silent=False)
 
 
+def test_malformed_raises_through_public_entry(tmp_path):
+    """Strict mode must raise through ``load_obj`` too: the native C++
+    fast path skips malformed lines without reporting them, so strict
+    parses must route around it (it used to swallow the error and hand
+    back a 0-vertex scene that crashed downstream)."""
+    path = write_obj(tmp_path, """\
+        v 0 0
+        f 1 2 3
+    """)
+    with pytest.raises(RuntimeError):
+        obj_io.load_obj(path, silent=False)
+
+
 def test_partial_vt_drops_all_texture_coords(tmp_path):
     # one face without vt → the whole vt table is dropped (model.py:49-52)
     path = write_obj(tmp_path, """\

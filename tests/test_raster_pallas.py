@@ -558,10 +558,111 @@ def test_sorted_gather_binning_matches_scalar_placement():
     assert int(tot) == int(tot2) and int(na) == int(na2)
 
     chans_old = rp._raster_tiles_grouped(
-        binned_old, gstarts, gchunks, stids, sstripes, p_cap, ntx, nty_g,
+        binned_old, gstarts, gchunks, stids, sstripes, ntx, nty_g,
         th, tw, chunk, group, config.z_init, True)
     chans_new = rp._raster_tiles_grouped(
-        binned_new, gstarts2, gchunks2, stids2, sstripes2, p_cap, ntx, nty_g,
+        binned_new, gstarts2, gchunks2, stids2, sstripes2, ntx, nty_g,
         th, tw, chunk, group, config.z_init, True)
     for c_old, c_new in zip(chans_old, chans_new):
         np.testing.assert_array_equal(np.asarray(c_old), np.asarray(c_new))
+
+
+def _check_lane_block_layout(rng, ntx, nty, group, sub, t):
+    """Validate bin_gather_grouped's interleaved slot layout against an
+    independent numpy reconstruction of the lane-block rank rule: slot
+    (chunk j of group g, lane l) must hold stripe ``l // sub``'s pair of
+    rank ``(l % sub) * B + j`` (B = the group's chunk count), pairs per
+    tile enumerated in triangle order.
+    """
+    from cython3dmodelrenderer_tpu.ops import binsort_pallas
+
+    n_tiles = ntx * nty
+    tx0 = rng.randint(0, ntx, size=t).astype(np.int32)
+    ty0 = rng.randint(0, nty, size=t).astype(np.int32)
+    cx = np.minimum(rng.randint(1, 4, size=t), ntx - tx0).astype(np.int32)
+    cy = np.minimum(rng.randint(1, 3, size=t), nty - ty0).astype(np.int32)
+    cx[rng.rand(t) < 0.1] = 0                        # some inactive
+    rows = rng.rand(t, 8).astype(np.float32)
+
+    # generous capacity: one chunk per (tile, stripe-demand) is enough here
+    _tc, _st, _ss, gchunks = binsort_pallas.group_histogram(
+        jnp.asarray(tx0), jnp.asarray(cx), jnp.asarray(ty0), jnp.asarray(cy),
+        ntx, nty, group, sub)
+    slot_cap = max(128, 128 * int(jnp.sum(gchunks)))
+    assert slot_cap < (1 << 17)
+
+    (binned, gstarts, gchunks, stids, _sstripes, _tcounts, total, _na) = \
+        binsort_pallas.bin_gather_grouped(
+            jnp.asarray(rows), jnp.asarray(tx0), jnp.asarray(cx),
+            jnp.asarray(ty0), jnp.asarray(cy), ntx=ntx, nty=nty,
+            slot_cap=slot_cap, group=group, sub=sub, interpret=True)
+    assert int(total) <= slot_cap                    # nothing clamped
+    binned = np.asarray(binned)
+    gstarts = np.asarray(gstarts)
+    gchunks_np = np.asarray(gchunks)
+    stids = np.asarray(stids)
+
+    per_tile = [[] for _ in range(n_tiles)]
+    for i in range(t):
+        for dy in range(cy[i]):
+            for dx in range(cx[i]):
+                per_tile[(ty0[i] + dy) * ntx + (tx0[i] + dx)].append(i)
+
+    n_checked = 0
+    for g in range(len(gchunks_np)):
+        b = int(gchunks_np[g])
+        c0 = int(gstarts[g]) // 128
+        for s in range(group):
+            tid = int(stids[g * group + s])
+            if tid >= n_tiles:
+                continue
+            plist = per_tile[tid]
+            for j in range(b):
+                for r_in in range(sub):
+                    rank = r_in * b + j
+                    if rank < len(plist):
+                        slot = (c0 + j) * 128 + s * sub + r_in
+                        np.testing.assert_array_equal(
+                            binned[slot], rows[plist[rank]])
+                        n_checked += 1
+    assert n_checked > 0
+
+
+def test_lane_block_layout_small_grid():
+    """Packed single-word chunk-table branch (n_groups <= 2048)."""
+    _check_lane_block_layout(np.random.RandomState(3), ntx=6, nty=8,
+                             group=8, sub=16, t=200)
+    _check_lane_block_layout(np.random.RandomState(4), ntx=5, nty=7,
+                             group=4, sub=32, t=120)
+
+
+def test_lane_block_layout_many_groups():
+    """The two-word chunk-table branch: group < 8 with a big tile grid
+    pushes n_groups past 2048, where the old single packed word's
+    ``gi << 20`` wrapped negative and silently corrupted every trailing
+    chunk's group id (review finding, round 3)."""
+    # 63 x 66 tiles, group=2 -> 2079 groups > 2048
+    _check_lane_block_layout(np.random.RandomState(5), ntx=63, nty=66,
+                             group=2, sub=64, t=60)
+
+
+def test_grouped_slot_total_degrades_with_stage_b():
+    """Sizing must mirror _stage_b's degrade decision: an image wider than
+    63 tiles falls back to the un-grouped path, so grouped_slot_total must
+    return the raw pair total instead of corrupting group_histogram's
+    packed 14-bit tile-sort key (review finding, round 3)."""
+    from cython3dmodelrenderer_tpu.ops import binning
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    config = RenderConfig(height=64, width=64 * 33, fov=60)   # ntx = 66 > 63
+    rng = np.random.RandomState(11)
+    t = 40
+    pts = rng.rand(t, 3, 2).astype(np.float32) * 200
+    z = rng.rand(t, 3, 1).astype(np.float32) * 0.9 + 0.05
+    ts = jnp.asarray(np.concatenate([pts, z], -1))
+    active = jnp.ones((t,), bool)
+
+    total = int(rp.grouped_slot_total(ts, active, config))
+    _rows, _tx0, _cx, _ty0, _cy, counts = binning.plane_data(
+        ts, active, config, rp.TILE_H, rp.TILE_W)
+    assert total == int(jnp.sum(counts))

@@ -195,3 +195,37 @@ def test_ungrouped_fallback_parity_on_device(objects_dir):
     c4, z4 = render_with_group(4)
     np.testing.assert_array_equal(z1, z4)
     np.testing.assert_array_equal(c1, c4)
+
+
+def test_fast_shade_on_device(objects_dir):
+    """Fast-shade (Gouraud, 3 attr channels) on real hardware: the depth
+    buffer must stay BIT-IDENTICAL to the exact 6-channel mode (same
+    geometry planes drive the z-argmin), and the shaded image must stay
+    close — it differs only by interpolate-then-shade vs
+    shade-then-interpolate order (fillers.py fast_shade docs)."""
+    path = os.path.join(objects_dir, "cube.obj")
+    if not os.path.exists(path):
+        pytest.skip("cube unavailable")
+    model = _load(path, False)
+    t = model.n_triangles()
+    rng = np.random.RandomState(0)
+    per_tri = rng.randint(256, size=(t, 3)).astype(np.float32)
+    tc = jnp.asarray(np.repeat(per_tri[:, None, :], 3, axis=1))
+    light = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+
+    def render(fast):
+        filler = AdvancedPixelBufferFiller(256, 256, fov=90,
+                                           backend="pallas",
+                                           fast_shade=fast)
+        filler.render_model(model, colors_override=tc,
+                            post="lambert_u8", light=light)
+        return (np.asarray(filler.get_post_image()),
+                np.asarray(filler.get_z_buffer()))
+
+    img_exact, z_exact = render(False)
+    img_fast, z_fast = render(True)
+    np.testing.assert_array_equal(z_exact, z_fast)
+    lit = (z_exact[..., 0] < 1e6)
+    assert lit.sum() > 1000, "empty render — the parity check proved nothing"
+    diff = np.abs(img_exact.astype(np.int32) - img_fast.astype(np.int32))
+    assert diff[lit].mean() < 8.0, f"fast-shade image drifted: {diff[lit].mean()}"

@@ -96,14 +96,16 @@ class Renderer:
 
     def _order(self, model: Model) -> Optional[jnp.ndarray]:
         cls = self.triangle_iterator_type
-        if cls is None:
+        # identity order → skip the permutation gather; decided BEFORE
+        # calling order_indices — building (and discarding) the identity
+        # arange cost a device-op dispatch per frame, which over a
+        # remote-tunneled device is real per-frame latency
+        if cls is None or cls.__name__ == "SimpleIterator":
             return None
         try:
-            order = cls.order_indices(model)
+            return cls.order_indices(model)
         except (AttributeError, NotImplementedError):
             return None
-        # identity order → skip the permutation gather
-        return None if cls.__name__ == "SimpleIterator" else order
 
     def _render_batched(self, model: Model,
                         colors_override: Optional[jnp.ndarray]) -> None:

@@ -154,8 +154,13 @@ def bench_turntable():
     tn = model.normals_by_triangles
     tc = jnp.asarray(model.colors_by_triangles, jnp.float32)
     config = RenderConfig(height=1024, width=1024, fov=45)
-    p_cap = multiview.turntable_capacity(tv, tn, config)
     angles = multiview.turntable_angles(64)
+    # exact per-pose sizing: every rendered angle's demand is evaluated, so
+    # no sampling headroom is needed — binsort/sort/gather costs scale with
+    # the STATIC capacity, so a tight bucket is pure win (the check_capacity
+    # assert below would catch any sizing error)
+    p_cap = multiview.sequence_capacity(tv, tn, angles, None, config,
+                                        headroom=1.0)
 
     def sweep():
         # post="u8": display-ready uint8 frames, matching the reference's

@@ -458,7 +458,6 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
 
     skeys = bitonic_sort_i32(keys, interpret=interpret)
     sorted_tri = jnp.minimum(skeys & ((1 << 17) - 1), t - 1)
-    rows_sorted = rows[sorted_tri]                    # fast row gather
 
     # ---- closed-form interleave indices, no element gathers
     # per-chunk group id, group chunk count, and group chunk-start, fill-
@@ -501,7 +500,10 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
     f_idx = run0 + (lane % sub)[None, :] * b_c[:, None] + j_c[:, None]
     f_idx = jnp.clip(f_idx.reshape(-1), 0, slot_cap - 1)
 
-    binned = rows_sorted[f_idx]
+    # compose indices BEFORE touching the wide rows: sorted_tri[f_idx] is a
+    # (slot_cap,) int32 element gather (cheap), so the 35-column plane rows
+    # move through ONE row gather instead of two full passes
+    binned = rows[sorted_tri[f_idx]]
     binned = jnp.pad(binned, ((0, chunk), (0, 0)))     # chunk-tail guard
     n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
     return (binned, gstarts, gchunks, stids, sstripes, tile_counts,

@@ -154,7 +154,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
     def __init__(self, h: int, w: int, fov: float = 90.0, z_near: float = 0.1,
                  z_far: float = 1000.0, n_threads: Optional[int] = None,
                  backend: str = "auto", interpret: bool = False,
-                 fast_shade: bool = False):
+                 fast_shade: bool = False, sign_cover: bool = False):
         del n_threads  # reference-API compat; TPU picks its own parallelism
         self.config = RenderConfig(height=h, width=w, fov=fov, z_near=z_near,
                                    z_far=z_far, backend=backend)
@@ -166,6 +166,10 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         #: Gouraud (not the reference's per-pixel-normal Lambert) and the
         #: normal G-buffer reads zeros. Default off: exact reference parity.
         self.fast_shade = fast_shade
+        #: opt-in sign-bit coverage fold in the Pallas kernels (saves ~2
+        #: full-width VPU ops per chunk; flips exactly-on-edge -0.0 λ
+        #: pixels, so not reference-exact). Default off.
+        self.sign_cover = sign_cover
         self._color = jnp.zeros((h, w, 3), jnp.float32)
         self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)
         self._normals = jnp.zeros((h, w, 3), jnp.float32)
@@ -327,7 +331,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         res = raster_pallas.render_frame(
             tri_verts, tri_norms, tri_colors, self.config,
             self._p_cap, 0, group=self._group,
-            interpret=self._interpret, post=post, light=light)
+            interpret=self._interpret, post=post, light=light,
+            sign_cover=self.sign_cover)
         if post == "none":
             out, self._last_total, self._last_active = res
         else:

@@ -68,6 +68,26 @@ def _out_stripes(n_attrs: int) -> int:
     # [B G R z] fast-shade (halves the output block traffic)
     return 4 if n_attrs == 3 else 8
 
+
+def _cover_mask(l0, l1, l2, sign_cover: bool):
+    """Inside test ``λ0≥0 & λ1≥0 & λ2≥0``.
+
+    ``sign_cover`` is the opt-in sign-bit fold: OR the raw float bit
+    patterns and test the combined sign once — 3 ops instead of 5 on the
+    full-width (TH, TW, K) tensors. NOT exact: a λ that evaluates to -0.0
+    (pixel center exactly on an edge, negative-signed zero product) counts
+    as covered under IEEE ``>= 0`` but reads as negative by sign bit, so
+    edge pixels can flip vs the reference rule. NaN λ flips the other way
+    (sign bit 0 → "covered"), but ``good`` still requires the bbox and
+    z∈[0,1] tests, which a NaN row fails. Default off: exact parity.
+    """
+    if sign_cover:
+        bits = (jax.lax.bitcast_convert_type(l0, jnp.int32)
+                | jax.lax.bitcast_convert_type(l1, jnp.int32)
+                | jax.lax.bitcast_convert_type(l2, jnp.int32))
+        return bits >= 0
+    return (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+
 # default raster tile: 16 x 32 px (512-px area, like 8x64, but squarer).
 # Narrow tiles on purpose — the lane dimension carries bin candidates,
 # not pixels, so per-candidate pixel work scales with tile area; the
@@ -86,7 +106,8 @@ GROUP = 8
 
 
 def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
-                 z_init: float, n_attrs: int = binning.N_ATTRS):
+                 z_init: float, n_attrs: int = binning.N_ATTRS,
+                 sign_cover: bool = False):
     n_out = _out_stripes(n_attrs)
 
     def kernel(starts_ref, counts_ref, binned_ref,
@@ -175,7 +196,7 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
             l2 = plane(6)
             z = plane(9)
 
-            cover = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+            cover = _cover_mask(l0, l1, l2, sign_cover)
             okx = (pxf >= row(12)) & (pxf < row(13))    # ceil-bbox rule
             oky = (pyf >= row(14)) & (pyf < row(15))
             zok = (z >= 0.0) & (z <= 1.0)
@@ -229,7 +250,8 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
 
 def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                          group: int, z_init: float,
-                         n_attrs: int = binning.N_ATTRS):
+                         n_attrs: int = binning.N_ATTRS,
+                         sign_cover: bool = False):
     """Grouped kernel: one grid step = ``group`` COUNT-SORTED tiles.
 
     Chunks interleave the tiles as ``sub``-lane stripes (see
@@ -409,7 +431,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             # into one sign check via subtractive forms — was tried here
             # and measured ~2% SLOWER: NaN-propagating jnp.minimum lowers
             # to compare+select pairs, costlier than plain compare+and)
-            cover = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+            cover = _cover_mask(l0, l1, l2, sign_cover)
             okx = (pxf >= row(12)) & (pxf < row(13))
             oky = (pyf >= row(14)) & (pyf < row(15))
             zok = (z >= 0.0) & (z <= 1.0)
@@ -479,7 +501,8 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
                           ntx: int, nty: int,
                           tile_h: int, tile_w: int, chunk: int, group: int,
                           z_init: float, interpret: bool,
-                          n_attrs: int = binning.N_ATTRS):
+                          n_attrs: int = binning.N_ATTRS,
+                          sign_cover: bool = False):
     n_tiles = ntx * nty
     n_sorted = -(-n_tiles // group) * group
     n_groups = n_sorted // group
@@ -487,7 +510,7 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
     rows_used = _rows_used(n_attrs)
     out_h, out_w = nty * tile_h, ntx * n_out * tile_w
     kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init,
-                                  n_attrs)
+                                  n_attrs, sign_cover)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_groups,),
@@ -539,7 +562,8 @@ def _raster_tiles(binned, tile_starts, tile_counts,
                   p_cap: int, ntx: int, nty: int,
                   tile_h: int, tile_w: int, chunk: int,
                   z_init: float, interpret: bool,
-                  n_attrs: int = binning.N_ATTRS):
+                  n_attrs: int = binning.N_ATTRS,
+                  sign_cover: bool = False):
     n_tiles = ntx * nty
     n_out = _out_stripes(n_attrs)
     # Mosaic DMA slices must be 128-aligned in the minor dim, and this
@@ -549,7 +573,8 @@ def _raster_tiles(binned, tile_starts, tile_counts,
     # (Fallback path only; the extra copy is acceptable.)
     if binned.shape[1] != 128:
         binned = jnp.pad(binned, ((0, 0), (0, 128 - binned.shape[1])))
-    kernel = _make_kernel(ntx, tile_h, tile_w, chunk, z_init, n_attrs)
+    kernel = _make_kernel(ntx, tile_h, tile_w, chunk, z_init, n_attrs,
+                          sign_cover)
     # one packed output: tile (ty, tx) owns a (tile_h, n_out*tile_w) stripe
     # block holding [B G R z ...] as lane-stripes; no cross-step hazards
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -609,7 +634,8 @@ def _plane_stage(tris_screen, colors, normals, active,
 def _stage_b(rows, tx0, cx, ty0, cy, counts,
              config: RenderConfig, p_cap: int, grid_cap: int,
              tile_h: int, tile_w: int, chunk: int, interpret: bool,
-             group: int = 1, n_attrs: int = binning.N_ATTRS):
+             group: int = 1, n_attrs: int = binning.N_ATTRS,
+             sign_cover: bool = False):
     """Bin → Pallas raster.
 
     Returns ((color, z, normal), n_active, cap_used) where ``cap_used`` is
@@ -653,7 +679,8 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
                                interpret=interpret)
         chans = _raster_tiles_grouped(
             binned, gstarts, gchunks, stids, sstripes, ntx, nty_g,
-            tile_h, tile_w, chunk, group, config.z_init, interpret, n_attrs)
+            tile_h, tile_w, chunk, group, config.z_init, interpret, n_attrs,
+            sign_cover)
         cap_used = total_slots
     else:
         if interpret or n_tiles % 128 != 0 or p_cap % 128 != 0:
@@ -667,7 +694,7 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
         chans = _raster_tiles(
             binned, tile_starts, tile_counts, p_cap,
             ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret,
-            n_attrs)
+            n_attrs, sign_cover)
         cap_used = jnp.sum(counts)
     cb, cg, cr, z_img = chans[:4]
     color = jnp.stack([cb[:h, :w], cg[:h, :w], cr[:h, :w]], axis=-1)
@@ -711,12 +738,12 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
 
 @functools.partial(jax.jit, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group", "post"))
+    "group", "post", "sign_cover"))
 def render_frame(tri_verts, tri_norms, tri_colors,
                  config: RenderConfig, p_cap: int, grid_cap: int,
                  tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 128,
                  interpret: bool = False, group: int = 1,
-                 post: str = "none", light=None):
+                 post: str = "none", light=None, sign_cover: bool = False):
     """Whole frame as ONE dispatch: geometry → bin → raster [→ shade].
 
     Per-dispatch overhead matters (over a remote-device tunnel it dominates),
@@ -742,6 +769,12 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     The default path is unchanged — fast mode only runs when explicitly
     requested (reference analogue: Version A→C trades generality for the
     hot path, README.md:25-46).
+
+    ``sign_cover=True`` is a second, independent opt-in: the coverage test
+    folds the three λ sign checks into one OR-of-bit-patterns compare (see
+    ``_cover_mask``). Saves ~2 full-width VPU ops per chunk but flips
+    pixels whose λ evaluates to -0.0 (exactly-on-edge centers), so it is
+    NOT reference-exact and is off by default.
     """
     from .illumination import lambert_shade
     from .projection import project_to_screen, visibility_masks
@@ -769,7 +802,7 @@ def render_frame(tri_verts, tri_norms, tri_colors,
             tile_w)
         out, n_active, cap_used = _stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
-            tile_h, tile_w, chunk, interpret, group, n_attrs)
+            tile_h, tile_w, chunk, interpret, group, n_attrs, sign_cover)
     if tri_verts.shape[0] == 0:
         n_active = cap_used = zero
     if post == "none":
@@ -822,4 +855,4 @@ def rasterize(tris_screen: jnp.ndarray,
 
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group", "n_attrs"))
+    "group", "n_attrs", "sign_cover"))

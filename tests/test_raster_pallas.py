@@ -467,6 +467,57 @@ def test_fast_shade_mode():
                                   np.asarray(img_f))
 
 
+def test_sign_cover_fold():
+    """Opt-in sign-bit coverage fold (``sign_cover=True``).
+
+    Contract: (a) grouped and un-grouped kernels stay bit-identical to
+    each other under the flag, (b) the result differs from the exact
+    default only at exactly-on-edge pixels (tiny mismatch fraction),
+    (c) the default path is untouched — ``sign_cover=False`` renders
+    bit-identically to a build without the flag (same code path), and the
+    filler default is off.
+    """
+    from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+    from cython3dmodelrenderer_tpu.ops import binning
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    config = RenderConfig(height=96, width=128, fov=60)
+    tris, colors, normals = random_scene(t=80, seed=21)
+    tv, tn, tc = jnp.asarray(tris), jnp.asarray(normals), jnp.asarray(colors)
+    degenerate, backfacing = visibility_masks(tv, tn)
+    active = ~degenerate & ~backfacing
+    ts = project_to_screen(tv, config)
+    rows, tx0, cx, ty0, cy, counts, total = rp._stage_a(
+        ts, tc, tn, active, config, 8, 128)
+
+    outs = {}
+    for group in (1, 4):
+        if group == 1:
+            p_cap = binning.capacity_bucket(int(total), 128)
+        else:
+            p_cap = binning.capacity_bucket(
+                int(rp.grouped_slot_total(ts, active, config, tile_h=8,
+                                          tile_w=128, group=group)), 128)
+        for sc in (False, True):
+            outs[(group, sc)], _na, _u = rp._stage_b_jit(
+                rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
+                grid_cap=0, tile_h=8, tile_w=128, chunk=128, interpret=True,
+                group=group, sign_cover=sc)
+
+    # (a) grouped == un-grouped bit-for-bit under the flag
+    for a, b in zip(outs[(1, True)], outs[(4, True)]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # (b) vs exact: only edge pixels may flip
+    z_exact = np.asarray(outs[(1, False)][1])
+    z_fold = np.asarray(outs[(1, True)][1])
+    frac = (np.abs(z_exact - z_fold).max(axis=-1) > 1e-5).mean()
+    assert frac <= 1e-3, f"sign_cover flipped {frac:.2%} of pixels"
+    # (c) filler default is exact
+    filler = AdvancedPixelBufferFiller(96, 128, fov=60, backend="pallas",
+                                       interpret=True)
+    assert filler.sign_cover is False
+
+
 def test_grouped_degrades_past_packing_limits():
     """A workload past the packed grouped binner's bit budgets (here: more
     than 2^17 triangles) must render through the un-grouped fallback

@@ -197,6 +197,32 @@ def test_ungrouped_fallback_parity_on_device(objects_dir):
     np.testing.assert_array_equal(c1, c4)
 
 
+def test_sign_cover_on_device(objects_dir):
+    """Opt-in sign-bit coverage fold through Mosaic on real hardware:
+    ``lax.bitcast_convert_type`` + integer OR must compile in the grouped
+    kernel, and the result may differ from the exact default only at
+    exactly-on-edge (-0.0 λ) pixels — a tiny mismatch fraction."""
+    path = os.path.join(objects_dir, "T-Rex.obj")
+    if not os.path.exists(path):
+        pytest.skip("T-Rex unavailable")
+    model = _load(path, True)
+
+    def render(sign_cover):
+        filler = AdvancedPixelBufferFiller(512, 512, fov=45,
+                                           backend="pallas",
+                                           sign_cover=sign_cover)
+        filler.render_model(model)
+        return (np.asarray(filler.get_color_buffer()),
+                np.asarray(filler.get_z_buffer()))
+
+    c_exact, z_exact = render(False)
+    c_fold, z_fold = render(True)
+    lit = (z_exact[..., 0] < 1e6)
+    assert lit.sum() > 1000, "empty render — the parity check proved nothing"
+    assert _mismatch(z_fold, z_exact, 1e-3) <= 1e-4
+    assert _mismatch(c_fold, c_exact, 0.5) <= 1e-4
+
+
 def test_fast_shade_on_device(objects_dir):
     """Fast-shade (Gouraud, 3 attr channels) on real hardware: the depth
     buffer must stay BIT-IDENTICAL to the exact 6-channel mode (same

@@ -22,6 +22,7 @@ from __future__ import annotations
 import atexit
 import queue
 import threading
+import time
 import weakref
 from abc import abstractmethod
 from functools import partial
@@ -83,7 +84,7 @@ class _DemandReader:
     def put(self, total, cap, seq: int = 0) -> None:
         # called from the dispatch thread only (same thread as invalidate,
         # so the gen snapshot is consistent without the lock)
-        self.q.put((total, cap, self.gen, seq))
+        self.q.put((total, cap, self.gen, seq, 0))
 
     def invalidate(self) -> None:
         with self.lock:
@@ -111,11 +112,21 @@ class _DemandReader:
             try:
                 if item is self._SHUTDOWN:
                     return
-                total, cap, gen, seq = item
+                total, cap, gen, seq, attempts = item
                 try:
                     t = int(total)
                 except Exception:
-                    t = 0      # a failed frame has nothing to validate
+                    # A failed demand read is NOT a clean verdict. Retry a
+                    # few times (transient device/tunnel hiccups), keeping
+                    # the item unfinished so strict joins still wait; after
+                    # that, conservatively report the frame as overflowing —
+                    # one spurious repair render beats serving a possibly
+                    # truncated frame as confirmed-complete.
+                    if attempts + 1 < 3:
+                        time.sleep(0.1 * (attempts + 1))
+                        self.q.put((total, cap, gen, seq, attempts + 1))
+                        continue
+                    t = cap + 1
                 with self.lock:
                     if t > cap and gen == self.gen:
                         self.max_demand = max(self.max_demand, t)
@@ -134,8 +145,6 @@ def _drain_readers_at_exit(deadline_s: float = 30.0) -> None:
     """Let outstanding blocking PJRT scalar reads finish before interpreter
     teardown: killing a daemon thread inside one aborts the process with an
     unhandled C++ exception."""
-    import time
-
     end = time.monotonic() + deadline_s
     for reader in list(_LIVE_READERS):
         while reader.q.unfinished_tasks and time.monotonic() < end:

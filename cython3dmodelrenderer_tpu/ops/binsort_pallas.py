@@ -18,7 +18,9 @@ per-triangle tile spans into one packed int32 per pair), sorts the packed
 keys with the Pallas bitonic network (``sort_pallas``), and builds the
 group-interleaved layout with pure vector index math — no scalar loop at
 all. ``bin_sort_grouped`` keeps the earlier scalar cursor-chain placement
-kernel as the equivalence oracle (same tables, bit-identical render). The
+kernel as the equivalence oracle (same tables always; bit-identical
+render at ample capacity — under overflow the two clamp differently, see
+``bin_gather_grouped``). The
 one-tile-per-step path (``bin_sort``) still iterates (tx0, cx, ty0, cy)
 spans directly with a single-tile fast path. Unplaced capacity slots are left uninitialized and
 clamped by the caller into valid row indices — safe because plane_data
@@ -235,7 +237,11 @@ def _clamp_group_chunks(gchunks, allowed: int):
     cross-group prefetch.
     """
     csum = jnp.cumsum(gchunks)
-    total_slots = 128 * csum[-1]
+    # clamp before scaling to slots: at the bit-budget maxima (2048 groups
+    # x 8192 chunks each) 128 * csum[-1] hits exactly 2^31 and would wrap
+    # negative, silently defeating the cap_used > p_cap overflow check —
+    # saturate instead (the clamped value still exceeds any valid p_cap)
+    total_slots = 128 * jnp.minimum(csum[-1], (1 << 24) - 1)
     cum_c = jnp.minimum(csum.astype(jnp.int32), allowed)
     start_c = jnp.minimum(
         jnp.concatenate([jnp.zeros(1, jnp.int32),
@@ -246,7 +252,7 @@ def _clamp_group_chunks(gchunks, allowed: int):
 
 
 def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
-                    group: int, sub: int):
+                    group: int, sub: int, interpret: bool = False):
     """Per-tile counts, sorted group composition, and per-group chunk demand
     — shared by sizing and placement (these MUST agree — capacity bucketing
     uses one caller, bin placement the other).
@@ -291,7 +297,7 @@ def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
     # 2k tile keys (vs ~0.035 ms); falls back to lax.sort off-TPU.
     from .sort_pallas import bitonic_sort_i32
 
-    skey = bitonic_sort_i32(key)
+    skey = bitonic_sort_i32(key, interpret=interpret)
     stids = (skey & ((1 << 14) - 1)).astype(jnp.int32)
     sstripes = ((1 << 17) - 1) - (skey >> 14)
     if n_sorted != n_tiles:                                  # sentinel pad
@@ -346,7 +352,7 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
         "image too large for the packed bin descriptor"
 
     tile_counts, stids, sstripes, gchunks = group_histogram(
-        tx0, cx, ty0, cy, ntx, nty, group, sub)
+        tx0, cx, ty0, cy, ntx, nty, group, sub, interpret=interpret)
     gchunks, gstarts, _start_c, total_slots = _clamp_group_chunks(
         gchunks, slot_cap // 128)
 
@@ -422,10 +428,18 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
 
     Returns (binned (slot_cap + 128, R) f32, gstarts, gchunks, stids,
     sstripes, tile_counts, total_slots, n_active) — the same group tables
-    as ``bin_sort_grouped``. Capacity overflow behaves identically:
-    trailing groups lose chunks (detectable via ``total_slots >
-    slot_cap``), and out-of-run reads land on real rows, which is harmless
-    by the duplicate-or-fail-bbox SAFETY INVARIANT (``binning.plane_data``).
+    as ``bin_sort_grouped``. Under capacity overflow both paths clamp the
+    same way at the TABLE level (trailing groups lose chunks, detectable
+    via ``total_slots > slot_cap``) and both stay SAFE (out-of-run reads
+    land on real rows — harmless by the duplicate-or-fail-bbox SAFETY
+    INVARIANT in ``binning.plane_data``), but the two truncated frames are
+    NOT bit-identical to each other: the pair stream itself is cut at
+    ``slot_cap`` here vs per-group chunk clamping there, so different
+    surviving pairs fill the clamped slots. Equivalence to the
+    ``bin_sort_grouped`` oracle holds at ample capacity only (the
+    overflow window is exactly the provisional-frame window —
+    ``fillers.AdvancedPixelBufferFiller`` repairs it by re-rendering at
+    grown capacity, never by trusting a truncated frame).
     """
     from .sort_pallas import bitonic_sort_i32
 
@@ -442,7 +456,7 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
     n_chunks = slot_cap // chunk
 
     tile_counts, stids, sstripes, gchunks = group_histogram(
-        tx0, cx, ty0, cy, ntx, nty, group, sub)
+        tx0, cx, ty0, cy, ntx, nty, group, sub, interpret=interpret)
     gchunks, gstarts, start_c, total_slots = _clamp_group_chunks(
         gchunks, n_chunks)
     n_groups = int(gchunks.shape[0])

@@ -788,12 +788,11 @@ def render_frame(tri_verts, tri_norms, tri_colors,
         active = jnp.logical_and(~degenerate, ~backfacing)
         tris_screen = project_to_screen(tri_verts, config)
         if fast:
-            # per-vertex Lambert shade baked into the colors (Gouraud);
-            # same formula as the deferred pass (guro_illumination.py:20-27)
-            dot = jnp.sum(tri_norms * light, axis=-1, keepdims=True)
-            norm = jnp.linalg.norm(tri_norms, axis=-1, keepdims=True)
-            shade = jnp.clip(dot / (norm + 1e-6), 0.0, 1.0)
-            attr_colors, attr_normals, n_attrs = tri_colors * shade, None, 3
+            # per-vertex Lambert shade baked into the colors (Gouraud) —
+            # the same shared definition the deferred pass uses, applied to
+            # (T, 3, 3) per-vertex normals instead of the G-buffer
+            attr_colors, attr_normals, n_attrs = (
+                lambert_shade(tri_colors, tri_norms, light), None, 3)
         else:
             attr_colors, attr_normals, n_attrs = (tri_colors, tri_norms,
                                                   binning.N_ATTRS)

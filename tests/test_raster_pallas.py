@@ -324,6 +324,34 @@ def test_overflow_lazy_drain_repairs_growing_sweep():
     np.testing.assert_array_equal(got, want)
 
 
+def test_demand_reader_failed_read_is_not_a_clean_verdict():
+    """A demand scalar whose host read RAISES (transient device/tunnel
+    error) must not be recorded as 'frame confirmed complete' — after
+    bounded retries the reader reports the frame as overflowing so the
+    filler conservatively re-renders instead of serving a possibly
+    truncated frame as validated (review finding, round 3)."""
+    from cython3dmodelrenderer_tpu.fillers import _DemandReader
+
+    class _Boom:
+        def __int__(self):
+            raise RuntimeError("transient read failure")
+
+    reader = _DemandReader()
+    try:
+        reader.put(_Boom(), cap=100, seq=1)
+        reader.q.join()                     # waits through the retries too
+        demand, seq_done = reader.take()
+        assert seq_done == 1                # the item WAS processed...
+        assert demand == 101                # ...with a conservative verdict
+
+        reader.put(7, cap=100, seq=2)       # and a clean read stays clean
+        reader.q.join()
+        demand, seq_done = reader.take()
+        assert (demand, seq_done) == (0, 2)
+    finally:
+        reader.stop()
+
+
 def test_binsort_grouped_overflow_clamps_and_unroll_tail():
     """Direct bin_sort_grouped hardening: with an undersized slot_cap the
     placement must stay in bounds (clamped group layout, no neighbor

@@ -175,9 +175,9 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         #: Gouraud (not the reference's per-pixel-normal Lambert) and the
         #: normal G-buffer reads zeros. Default off: exact reference parity.
         self.fast_shade = fast_shade
-        #: opt-in sign-bit coverage fold in the Pallas kernels (saves ~2
-        #: full-width VPU ops per chunk; flips exactly-on-edge -0.0 λ
-        #: pixels, so not reference-exact). Default off.
+        #: opt-in sign-bit predicate fold in the Pallas kernels (~7% less
+        #: chunk-loop ALU; flips exactly-on-edge -0.0 λ pixels, so not
+        #: reference-exact). Default off.
         self.sign_cover = sign_cover
         self._color = jnp.zeros((h, w, 3), jnp.float32)
         self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)

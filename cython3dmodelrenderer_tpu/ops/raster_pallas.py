@@ -69,24 +69,41 @@ def _out_stripes(n_attrs: int) -> int:
     return 4 if n_attrs == 3 else 8
 
 
-def _cover_mask(l0, l1, l2, sign_cover: bool):
-    """Inside test ``λ0≥0 & λ1≥0 & λ2≥0``.
+def _bits(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
 
-    ``sign_cover`` is the opt-in sign-bit fold: OR the raw float bit
-    patterns and test the combined sign once — 3 ops instead of 5 on the
-    full-width (TH, TW, K) tensors. NOT exact: a λ that evaluates to -0.0
-    (pixel center exactly on an edge, negative-signed zero product) counts
-    as covered under IEEE ``>= 0`` but reads as negative by sign bit, so
-    edge pixels can flip vs the reference rule. NaN λ flips the other way
-    (sign bit 0 → "covered"), but ``good`` still requires the bbox and
-    z∈[0,1] tests, which a NaN row fails. Default off: exact parity.
+
+def _good_mask(l0, l1, l2, z, pxf, pyf, xl, xr, yl, yr, sign_cover: bool):
+    """The full per-candidate predicate: ``λ≥0`` coverage, ceil-bbox
+    containment, and z∈[0,1], combined into one mask.
+
+    ``sign_cover=False`` (the default) is the exact reference rule: nine
+    IEEE compares + combines. ``sign_cover=True`` is the opt-in sign-bit
+    fold: every term becomes a "≥ 0" check of a float, so OR the raw bit
+    patterns of all nine and test the combined sign once —
+    ``a ≥ b`` folds as ``sign(a - b)`` and the strict ``pxf < xr`` bound
+    folds as ``sign((xr - 1) - pxf)`` (exact: both sides are small
+    integers in f32). NOT reference-exact: a term that evaluates to -0.0
+    counts as ≥ 0 under IEEE but reads negative by sign bit. The λ planes
+    can produce -0.0 (pixel center exactly on an edge: a negative-signed
+    zero product), so edge pixels may flip vs the exact rule; the
+    subtractive bbox terms cannot (x - x = +0.0 in round-to-nearest).
+    NaN λ/z flips the other way (sign bit 0 → "pass"), but a NaN z makes
+    the candidate lose every ``zc < zacc`` compare, so it never wins a
+    pixel. Zeroed capacity-padding rows keep failing the bbox terms
+    ((xr-1) - pxf = -1 - pxf < 0). Default off: exact parity.
     """
     if sign_cover:
-        bits = (jax.lax.bitcast_convert_type(l0, jnp.int32)
-                | jax.lax.bitcast_convert_type(l1, jnp.int32)
-                | jax.lax.bitcast_convert_type(l2, jnp.int32))
-        return bits >= 0
-    return (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+        bits = (_bits(l0) | _bits(l1) | _bits(l2)
+                | _bits(pxf - xl) | _bits((xr - 1.0) - pxf)
+                | _bits(z) | _bits(1.0 - z))
+        ybits = _bits(pyf - yl) | _bits((yr - 1.0) - pyf)   # stays (TH,1,K)
+        return (bits | ybits) >= 0
+    cover = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+    okx = (pxf >= xl) & (pxf < xr)          # ceil-bbox rule
+    oky = (pyf >= yl) & (pyf < yr)
+    zok = (z >= 0.0) & (z <= 1.0)
+    return cover & okx & oky & zok
 
 # default raster tile: 16 x 32 px (512-px area, like 8x64, but squarer).
 # Narrow tiles on purpose — the lane dimension carries bin candidates,
@@ -196,17 +213,14 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
             l2 = plane(6)
             z = plane(9)
 
-            cover = _cover_mask(l0, l1, l2, sign_cover)
-            okx = (pxf >= row(12)) & (pxf < row(13))    # ceil-bbox rule
-            oky = (pyf >= row(14)) & (pyf < row(15))
-            zok = (z >= 0.0) & (z <= 1.0)
             # No explicit count mask: a chunk's tail may read rows from
             # neighboring bins, but any row whose bbox overlaps THIS tile is
             # by construction also in this tile's own segment (binning emits
             # a pair for every overlapped tile), so tail rows are either
             # harmless duplicates or fail the bbox test; capacity padding is
             # zeroed rows (empty bbox).
-            good = cover & okx & oky & zok
+            good = _good_mask(l0, l1, l2, z, pxf, pyf, row(12), row(13),
+                              row(14), row(15), sign_cover)
             zc = jnp.where(good, z, jnp.inf)
             zmin = jnp.min(zc, axis=2, keepdims=True)   # (TH, TW, 1)
             # First lane achieving the min = lowest-priority winner (bins
@@ -427,15 +441,14 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             l2 = plane(6)
             z = plane(9)
 
-            # (a single min-tree coverage test — fold all nine conditions
-            # into one sign check via subtractive forms — was tried here
-            # and measured ~2% SLOWER: NaN-propagating jnp.minimum lowers
-            # to compare+select pairs, costlier than plain compare+and)
-            cover = _cover_mask(l0, l1, l2, sign_cover)
-            okx = (pxf >= row(12)) & (pxf < row(13))
-            oky = (pyf >= row(14)) & (pyf < row(15))
-            zok = (z >= 0.0) & (z <= 1.0)
-            good = cover & okx & oky & zok
+            # (a single min-tree fold of all nine conditions via
+            # jnp.minimum was tried here and measured ~2% SLOWER —
+            # NaN-propagating minimum lowers to compare+select pairs,
+            # costlier than plain compare+and; the sign-bit OR fold is the
+            # cheap version of the same idea, opt-in because -0.0 edge
+            # evals flip)
+            good = _good_mask(l0, l1, l2, z, pxf, pyf, row(12), row(13),
+                              row(14), row(15), sign_cover)
             zc = jnp.where(good, z, jnp.inf)
 
             # Lane-local running argmin: strict < keeps the EARLIEST rank
@@ -770,11 +783,12 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     requested (reference analogue: Version A→C trades generality for the
     hot path, README.md:25-46).
 
-    ``sign_cover=True`` is a second, independent opt-in: the coverage test
-    folds the three λ sign checks into one OR-of-bit-patterns compare (see
-    ``_cover_mask``). Saves ~2 full-width VPU ops per chunk but flips
-    pixels whose λ evaluates to -0.0 (exactly-on-edge centers), so it is
-    NOT reference-exact and is off by default.
+    ``sign_cover=True`` is a second, independent opt-in: the full
+    nine-term candidate predicate (λ coverage, bbox, z-range) folds into
+    one OR-of-bit-patterns sign test (see ``_good_mask``) — ~7% less
+    chunk-loop ALU — but pixels whose λ evaluates to -0.0
+    (exactly-on-edge centers) flip, so it is NOT reference-exact and is
+    off by default.
     """
     from .illumination import lambert_shade
     from .projection import project_to_screen, visibility_masks

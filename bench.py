@@ -68,14 +68,15 @@ def _time_frames(fn, n_warm=3, n_iter=100, n_trials=3):
 
 
 def _bench_single(model, size, fov, illum, metric, vs_baseline=None,
-                  fast_shade=False):
+                  fast_shade=False, sign_cover=False):
     import jax.numpy as jnp
 
     from cython3dmodelrenderer_tpu import (AdvancedPixelBufferFiller,
                                            GuroIllumination, NoIllumination)
 
     filler = AdvancedPixelBufferFiller(size, size, fov=fov,
-                                       fast_shade=fast_shade)
+                                       fast_shade=fast_shade,
+                                       sign_cover=sign_cover)
     tv = model.vertices_by_triangles
     tn = model.normals_by_triangles
     tc = model.colors_by_triangles
@@ -109,11 +110,12 @@ def _bench_single(model, size, fov, illum, metric, vs_baseline=None,
     return out
 
 
-def bench_trex():
+def bench_trex(sign_cover=False):
+    tag = ", sign-cover fold" if sign_cover else ""
     return _bench_single(_posed("T-Rex.obj"), 1024, 45, illum=False,
                          metric="T-Rex.obj 1024x1024 ms/frame "
-                                "(README pose, fov=45)",
-                         vs_baseline=BASELINE_MS)
+                                f"(README pose, fov=45{tag})",
+                         vs_baseline=BASELINE_MS, sign_cover=sign_cover)
 
 
 def bench_cube():
@@ -188,7 +190,13 @@ def main():
     parser.add_argument("--config", default="trex",
                         choices=["trex", "cube", "bunny", "igor",
                                  "turntable", "fast", "all"])
+    parser.add_argument("--sign-cover", action="store_true",
+                        help="opt-in sign-bit predicate fold (trex config "
+                             "only; A/B against the exact default)")
     args = parser.parse_args()
+    if args.sign_cover:
+        print(json.dumps(bench_trex(sign_cover=True)))
+        return
     benches = {
         "trex": bench_trex,
         "cube": bench_cube,

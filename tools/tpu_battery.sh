@@ -1,0 +1,36 @@
+#!/bin/bash
+# Post-tunnel-recovery measurement battery, in priority order. Run it the
+# moment the TPU tunnel is back; each step appends to /tmp/battery_r3.log
+# so a second wedge mid-run loses nothing. Parity first (any kernel change
+# since the last on-device run is unproven until tests_tpu passes), then
+# the headline + A/B benches, then the probe scripts (see PERF_NOTES and
+# the memory notes for what each measures).
+set -x
+cd "$(dirname "$0")/.."
+LOG=/tmp/battery_r3.log
+
+{
+echo "=== battery start $(date) ==="
+echo "=== 1. tests_tpu (real-chip parity, ~6 min) ==="
+timeout 1500 python -m pytest tests_tpu/ -q 2>&1 | tail -15
+
+echo "=== 2. bench.py headline (exact default) ==="
+timeout 900 python bench.py 2>&1 | tail -3
+
+echo "=== 3. bench.py sign-cover A/B ==="
+timeout 900 python bench.py --sign-cover 2>&1 | tail -3
+
+echo "=== 4. bench.py all configs ==="
+timeout 1800 python bench.py --config all 2>&1 | tail -8
+
+echo "=== 5. stage chain (per-stage split) ==="
+[ -f /tmp/stage_chain3.py ] && timeout 600 python /tmp/stage_chain3.py 2>&1 | tail -25
+
+echo "=== 6. VPU calibration (roofline) ==="
+[ -f /tmp/vpu_cal.py ] && timeout 600 python /tmp/vpu_cal.py 2>&1 | tail -15
+
+echo "=== 7. sweep decomposition (turntable per-view gap) ==="
+[ -f /tmp/sweep_decomp.py ] && timeout 900 python /tmp/sweep_decomp.py 2>&1 | tail -25
+
+echo "=== battery done $(date) ==="
+} 2>&1 | tee -a "$LOG"

@@ -143,7 +143,7 @@ def bench_fast():
                          vs_baseline=BASELINE_MS, fast_shade=True)
 
 
-def bench_turntable():
+def bench_turntable(view_batch=1):
     import jax
     import jax.numpy as jnp
 
@@ -162,7 +162,7 @@ def bench_turntable():
     # the STATIC capacity, so a tight bucket is pure win (the check_capacity
     # assert below would catch any sizing error)
     p_cap = multiview.sequence_capacity(tv, tn, angles, None, config,
-                                        headroom=1.0)
+                                        headroom=1.0, view_batch=view_batch)
 
     def sweep():
         # post="u8": display-ready uint8 frames, matching the reference's
@@ -170,14 +170,16 @@ def bench_turntable():
         return multiview.render_turntable_pallas(tv, tn, tc, angles, config,
                                                  p_cap=p_cap,
                                                  check_capacity=True,
-                                                 post="u8")
+                                                 post="u8",
+                                                 view_batch=view_batch)
 
     _imgs, used = sweep()
     assert int(used) <= p_cap, \
         f"turntable bin demand {int(used)} overflowed p_cap {p_cap}"
     ms = _time_frames(sweep, n_warm=2, n_iter=3)
+    tag = f", view_batch={view_batch}" if view_batch > 1 else ""
     return {
-        "metric": "64-camera T-Rex turntable 1024x1024 ms/view",
+        "metric": f"64-camera T-Rex turntable 1024x1024 ms/view{tag}",
         "value": round(ms / 64, 3),
         "unit": "ms",
         "views": 64,
@@ -193,9 +195,15 @@ def main():
     parser.add_argument("--sign-cover", action="store_true",
                         help="opt-in sign-bit predicate fold (trex config "
                              "only; A/B against the exact default)")
+    parser.add_argument("--view-batch", type=int, default=1,
+                        help="views per kernel launch for the turntable "
+                             "config (A/B against the per-view sweep)")
     args = parser.parse_args()
     if args.sign_cover:
         print(json.dumps(bench_trex(sign_cover=True)))
+        return
+    if args.view_batch > 1:
+        print(json.dumps(bench_turntable(view_batch=args.view_batch)))
         return
     benches = {
         "trex": bench_trex,

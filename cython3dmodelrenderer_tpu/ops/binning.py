@@ -40,7 +40,9 @@ from .raster_ref import bbox_ceil
 # column: depth-tie order is POSITIONAL — bins are sorted by triangle
 # index and the kernels resolve exact z ties by minimum lane/chunk.)
 ROW_WIDTH = 64
-IDX_BBOX = 12
+IDX_BBOX = 12          # xl, xr, yl, yr
+IDX_YL = 14
+IDX_YR = 15
 IDX_ATTRS = 16
 N_ATTRS = 6
 

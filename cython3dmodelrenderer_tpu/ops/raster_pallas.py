@@ -114,6 +114,17 @@ def _good_mask(l0, l1, l2, z, pxf, pyf, xl, xr, yl, yr, sign_cover: bool):
 # use the same tile.
 TILE_H = 16
 TILE_W = 32
+
+
+def view_row_stride(nty: int, group: int) -> int:
+    """Tile-row stride between stacked views in view-batched rendering.
+
+    Both kernels and the batched caller must lay view ``v``'s tile rows at
+    ``v * view_row_stride(...)`` — the per-view row count padded to a
+    multiple of the lane-subgroup ``group`` (the grouped binner composes
+    groups over the padded grid).
+    """
+    return -(-nty // group) * group
 # default lane-subgroup packing: 8 count-sorted tiles per 128-lane chunk
 # (16-lane stripes). Finer stripes quantize each tile's demand with less
 # rounding waste — on the bench scenes g8/sub16 needs ~23% fewer chunk
@@ -124,7 +135,7 @@ GROUP = 8
 
 def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
                  z_init: float, n_attrs: int = binning.N_ATTRS,
-                 sign_cover: bool = False):
+                 sign_cover: bool = False, tiles_per_view: int = 0):
     n_out = _out_stripes(n_attrs)
 
     def kernel(starts_ref, counts_ref, binned_ref,
@@ -137,8 +148,14 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
         i = pl.program_id(0)
         start = starts_ref[i]
         count = counts_ref[i]
-        tx = i % ntx
-        ty = i // ntx
+        # VIEW BATCHING: the tile grid may stack several views vertically
+        # (tile id = view * tiles_per_view + local id). Plane rows are
+        # view-relative, so pixel coordinates come from the LOCAL tile
+        # position; only the output placement (the grid index_map) uses the
+        # stacked id. tiles_per_view == 0 → single view.
+        iloc = i % tiles_per_view if tiles_per_view else i
+        tx = iloc % ntx
+        ty = iloc // ntx
 
         # Empty tiles (most of the image for typical scenes) take a fast
         # path: write the constant background block and skip all setup —
@@ -153,10 +170,10 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
 
         @pl.when(count > 0)
         def _():
-            _raster_tile(start, count, tx, ty, binned_ref, out_ref,
+            _raster_tile(start, count, tx, ty, i // ntx, binned_ref, out_ref,
                          buf, zacc, attracc, sems)
 
-    def _raster_tile(start, count, tx, ty, binned_ref, out_ref,
+    def _raster_tile(start, count, tx, ty, tyg, binned_ref, out_ref,
                      buf, zacc, attracc, sems):
         # Pixel coordinates in native (TH, TW, 1) tile layout — every
         # per-pixel array in this kernel is a full (8, 128) register tile, so
@@ -166,6 +183,10 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
         iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0)
         pxf = (tx * tile_w + ix).astype(jnp.float32)
         pyf = (ty * tile_h + iy).astype(jnp.float32)   # (TH, 1, 1)
+        # stacked-global pixel row for the y-bbox test (== pyf unbatched;
+        # see the grouped kernel for why view batching needs it)
+        pyg = (pyf if not tiles_per_view
+               else (tyg * tile_h + iy).astype(jnp.float32))
 
         zacc[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
 
@@ -218,8 +239,9 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
             # by construction also in this tile's own segment (binning emits
             # a pair for every overlapped tile), so tail rows are either
             # harmless duplicates or fail the bbox test; capacity padding is
-            # zeroed rows (empty bbox).
-            good = _good_mask(l0, l1, l2, z, pxf, pyf, row(12), row(13),
+            # zeroed rows (empty bbox). (With view batching the y-bbox is
+            # stacked-global, so cross-view tail rows fail it too.)
+            good = _good_mask(l0, l1, l2, z, pxf, pyg, row(12), row(13),
                               row(14), row(15), sign_cover)
             zc = jnp.where(good, z, jnp.inf)
             zmin = jnp.min(zc, axis=2, keepdims=True)   # (TH, TW, 1)
@@ -265,7 +287,7 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
 def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                          group: int, z_init: float,
                          n_attrs: int = binning.N_ATTRS,
-                         sign_cover: bool = False):
+                         sign_cover: bool = False, tiles_per_view: int = 0):
     """Grouped kernel: one grid step = ``group`` COUNT-SORTED tiles.
 
     Chunks interleave the tiles as ``sub``-lane stripes (see
@@ -388,12 +410,23 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         # is DATA — a handful of scalar reads + selects per group
         txv = jnp.zeros_like(seg)
         tyv = jnp.zeros_like(seg)
+        tygv = jnp.zeros_like(seg)
         for s in range(group):
             tid = stids_ref[group * i + s]
-            txv = jnp.where(seg == s, tid % ntx, txv)
-            tyv = jnp.where(seg == s, tid // ntx, tyv)
+            # VIEW BATCHING: plane evaluation uses the tile's LOCAL
+            # position within its view (plane rows are view-relative), but
+            # the y-BBOX test and out_dma use the full STACKED id — the
+            # stacked y-bbox is what rejects another view's rows when a
+            # chunk tail reads across bins. 0 → single view.
+            tloc = tid % tiles_per_view if tiles_per_view else tid
+            txv = jnp.where(seg == s, tloc % ntx, txv)
+            tyv = jnp.where(seg == s, tloc // ntx, tyv)
+            tygv = jnp.where(seg == s, tid // ntx, tygv)
         pxf = (txv * tile_w + ix).astype(jnp.float32)      # (TH, TW, K)
         pyf = (tyv * tile_h + iy).astype(jnp.float32)      # (TH, 1, K)
+        # stacked-global pixel row for the y-bbox test (== pyf unbatched)
+        pyg = (pyf if not tiles_per_view
+               else (tygv * tile_h + iy).astype(jnp.float32))
 
         zacc[:] = jnp.full((tile_h, tile_w, chunk), jnp.inf, jnp.float32)
 
@@ -447,7 +480,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             # costlier than plain compare+and; the sign-bit OR fold is the
             # cheap version of the same idea, opt-in because -0.0 edge
             # evals flip)
-            good = _good_mask(l0, l1, l2, z, pxf, pyf, row(12), row(13),
+            good = _good_mask(l0, l1, l2, z, pxf, pyg, row(12), row(13),
                               row(14), row(15), sign_cover)
             zc = jnp.where(good, z, jnp.inf)
 
@@ -515,7 +548,8 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
                           tile_h: int, tile_w: int, chunk: int, group: int,
                           z_init: float, interpret: bool,
                           n_attrs: int = binning.N_ATTRS,
-                          sign_cover: bool = False):
+                          sign_cover: bool = False,
+                          tiles_per_view: int = 0):
     n_tiles = ntx * nty
     n_sorted = -(-n_tiles // group) * group
     n_groups = n_sorted // group
@@ -523,7 +557,7 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
     rows_used = _rows_used(n_attrs)
     out_h, out_w = nty * tile_h, ntx * n_out * tile_w
     kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init,
-                                  n_attrs, sign_cover)
+                                  n_attrs, sign_cover, tiles_per_view)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_groups,),
@@ -576,7 +610,8 @@ def _raster_tiles(binned, tile_starts, tile_counts,
                   tile_h: int, tile_w: int, chunk: int,
                   z_init: float, interpret: bool,
                   n_attrs: int = binning.N_ATTRS,
-                  sign_cover: bool = False):
+                  sign_cover: bool = False,
+                  tiles_per_view: int = 0):
     n_tiles = ntx * nty
     n_out = _out_stripes(n_attrs)
     # Mosaic DMA slices must be 128-aligned in the minor dim, and this
@@ -587,7 +622,7 @@ def _raster_tiles(binned, tile_starts, tile_counts,
     if binned.shape[1] != 128:
         binned = jnp.pad(binned, ((0, 0), (0, 128 - binned.shape[1])))
     kernel = _make_kernel(ntx, tile_h, tile_w, chunk, z_init, n_attrs,
-                          sign_cover)
+                          sign_cover, tiles_per_view)
     # one packed output: tile (ty, tx) owns a (tile_h, n_out*tile_w) stripe
     # block holding [B G R z ...] as lane-stripes; no cross-step hazards
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -648,19 +683,38 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
              config: RenderConfig, p_cap: int, grid_cap: int,
              tile_h: int, tile_w: int, chunk: int, interpret: bool,
              group: int = 1, n_attrs: int = binning.N_ATTRS,
-             sign_cover: bool = False):
+             sign_cover: bool = False, n_views: int = 1):
     """Bin → Pallas raster.
 
     Returns ((color, z, normal), n_active, cap_used) where ``cap_used`` is
     the quantity the static ``p_cap`` must cover (triangle→tile pairs for
     ``group == 1``, interleaved slots for grouped mode). With
     ``n_attrs == 3`` (fast-shade mode) the normal G-buffer is zeros.
+
+    VIEW BATCHING (``n_views > 1``): the inputs carry several views'
+    triangles concatenated, with each view's tile rows offset by
+    ``view * nty_g`` (``nty_g`` = the per-view tile-row count padded to a
+    multiple of ``group`` — ``view_row_stride`` gives callers the exact
+    value) — the views render as one vertically stacked image through ONE
+    kernel launch, sharing the sort/binning glue and letting count-sorted
+    grouping balance stripes ACROSS views. Plane rows stay view-relative
+    (the kernels evaluate pixel coordinates from the local tile position),
+    so each view's pixels are BIT-IDENTICAL to its single-view render.
+    The returned G-buffers gain a leading ``(n_views,)`` axis.
     """
     h, w = config.height, config.width
     ntx = -(-w // tile_w)
     nty = -(-h // tile_h)
     n_tiles = ntx * nty
     del grid_cap  # grid compaction regressed perf; kept for API stability
+    if n_views > 1:
+        # both paths use the grouped padding convention for the view
+        # offsets (the caller laid tile rows out at view * nty_g)
+        nty_g1 = view_row_stride(nty, group)
+        nty = n_views * nty_g1
+        n_tiles = ntx * nty
+    else:
+        nty_g1 = nty
 
     if group > 1:
         from .binsort_pallas import grouped_limits_ok
@@ -693,7 +747,8 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
         chans = _raster_tiles_grouped(
             binned, gstarts, gchunks, stids, sstripes, ntx, nty_g,
             tile_h, tile_w, chunk, group, config.z_init, interpret, n_attrs,
-            sign_cover)
+            sign_cover,
+            tiles_per_view=ntx * nty_g1 if n_views > 1 else 0)
         cap_used = total_slots
     else:
         if interpret or n_tiles % 128 != 0 or p_cap % 128 != 0:
@@ -707,16 +762,25 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
         chans = _raster_tiles(
             binned, tile_starts, tile_counts, p_cap,
             ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret,
-            n_attrs, sign_cover)
+            n_attrs, sign_cover,
+            tiles_per_view=ntx * nty_g1 if n_views > 1 else 0)
         cap_used = jnp.sum(counts)
+
+    def crop(c):
+        # (nty*tile_h, ntx*tile_w) planar image → per-view crop; with view
+        # batching each view owns a (nty_g1*tile_h)-row band of the stack
+        if n_views == 1:
+            return c[:h, :w]
+        return c.reshape(n_views, nty_g1 * tile_h, -1)[:, :h, :w]
+
     cb, cg, cr, z_img = chans[:4]
-    color = jnp.stack([cb[:h, :w], cg[:h, :w], cr[:h, :w]], axis=-1)
+    color = jnp.stack([crop(cb), crop(cg), crop(cr)], axis=-1)
     if n_attrs == binning.N_ATTRS:
         nx, ny, nz = chans[4:7]
-        normal = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
+        normal = jnp.stack([crop(nx), crop(ny), crop(nz)], axis=-1)
     else:
         normal = jnp.zeros_like(color)
-    return (color, z_img[:h, :w, None], normal), n_active, cap_used
+    return (color, crop(z_img)[..., None], normal), n_active, cap_used
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -868,4 +932,4 @@ def rasterize(tris_screen: jnp.ndarray,
 
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group", "n_attrs", "sign_cover"))
+    "group", "n_attrs", "sign_cover", "n_views"))

@@ -144,8 +144,86 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
     return lambert_shade(color, light=light, n_buffer=normal), z, normal, used
 
 
+def _batched_view_spans(tri_verts, tri_norms, tri_colors, angles_b, shifts_b,
+                        config: RenderConfig, group: int):
+    """Pose + project + plane-stage a small batch of views and concatenate
+    them in the stacked-tile-row layout ``raster_pallas._stage_b`` consumes
+    with ``n_views > 1`` (view v's tile rows offset by ``v * stride``).
+    Shared by the batched renderer and its capacity sizing — the two MUST
+    agree on the layout or sizing would under-count.
+    """
+    from ..ops import binning
+
+    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    nty = -(-config.height // th)
+    stride = raster_pallas.view_row_stride(nty, group)
+    parts = []
+    for v in range(angles_b.shape[0]):      # static, small (view_batch)
+        pv, pn = _pose_triangles(tri_verts, tri_norms, angles_b[v],
+                                 shifts_b[v])
+        degenerate, backfacing = visibility_masks(pv, pn)
+        act = jnp.logical_and(~degenerate, ~backfacing)
+        ts = project_to_screen(pv, config)
+        rows, tx0, cx, ty0, cy, counts = binning.plane_data(
+            ts, act, config, th, tw, colors=tri_colors, normals=pn)
+        # The y-BBOX moves to STACKED image coordinates (exact: integer
+        # adds in f32) while the plane rows stay view-relative — the
+        # kernels test the y-bbox against the global pixel row, which is
+        # what rejects another view's rows read by a chunk tail (the
+        # "harmless duplicate" invariant only holds within one view).
+        rows = rows.at[:, binning.IDX_YL:binning.IDX_YR + 1].add(
+            jnp.float32(v * stride * th))
+        parts.append((rows, tx0, cx, ty0 + v * stride, cy, counts))
+    return tuple(jnp.concatenate(xs) for xs in zip(*parts))
+
+
+def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
+                             shifts_b, config: RenderConfig, p_cap: int,
+                             chunk: int, group: int, interpret: bool, light):
+    """A batch of posed views through ONE grouped-kernel launch.
+
+    The views stack vertically in tile-id space (VERDICT r2 task: "batch
+    views' tiles into one Pallas grid"): one sort/binning pass and one
+    raster grid cover all of them, count-sorted grouping balances stripes
+    ACROSS views, and the per-view fixed stage costs amortize. Each view's
+    pixels stay BIT-IDENTICAL to its single-view render (plane evaluation
+    is view-relative — ``raster_pallas._stage_b`` docs). Returns
+    (shaded (V, H, W, 3), z, normal, cap_used).
+    """
+    rows, tx0, cx, ty0, cy, counts = _batched_view_spans(
+        tri_verts, tri_norms, tri_colors, angles_b, shifts_b, config, group)
+    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    (color, z, normal), _na, used = raster_pallas._stage_b(
+        rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
+        th, tw, chunk, interpret, group, n_views=int(angles_b.shape[0]))
+    return lambert_shade(color, light=light, n_buffer=normal), z, normal, used
+
+
+def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
+                   config: RenderConfig, p_cap: int, chunk: int, group: int,
+                   interpret: bool, light, post: str, view_batch: int):
+    """Scan over view batches; each step renders ``view_batch`` views
+    through one stacked kernel launch (see ``_render_viewbatch_pallas``)."""
+    ab = angles.reshape(-1, view_batch, 3)
+    sb = shifts.reshape(-1, view_batch, 3)
+
+    def oneb(xs):
+        a_b, s_b = xs
+        color, _z, _normal, used = _render_viewbatch_pallas(
+            tri_verts, tri_norms, tri_colors, a_b, s_b, config, p_cap,
+            chunk, group, interpret, light)
+        if post == "u8":
+            color = color.astype(jnp.uint8)
+        return color, used
+
+    # scan bodies are view_batch x bigger — scale the unroll down
+    images, used = _sweep(oneb, (ab, sb), unroll=max(1, 4 // view_batch))
+    return images.reshape((-1,) + images.shape[2:]), used
+
+
 @partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
-                                   "group", "check_capacity", "post"))
+                                   "group", "check_capacity", "post",
+                                   "view_batch"))
 def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             tri_colors: jnp.ndarray, angles: jnp.ndarray,
                             config: RenderConfig, p_cap: int,
@@ -154,7 +232,8 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             interpret: bool = False,
                             group: int = raster_pallas.GROUP,
                             check_capacity: bool = False,
-                            post: str = "f32") -> jnp.ndarray:
+                            post: str = "f32",
+                            view_batch: int = 1) -> jnp.ndarray:
     """Multi-view render through the Pallas rasterizer (one chip).
 
     Views run sequentially via a partially unrolled ``lax.scan`` (each view
@@ -168,18 +247,36 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     geometry otherwise). ``post="u8"`` quantizes each shaded frame to uint8
     inside the sweep — 4x less output traffic and the frames arrive
     display-ready (the single-frame path's fused ``post`` analogue).
+
+    ``view_batch=V`` (V dividing the view count) renders V consecutive
+    views per kernel launch as one vertically stacked tile grid — one
+    sort/binning pass, one raster grid, per-view fixed stage costs paid
+    once per batch; pixels stay bit-identical to ``view_batch=1``. Size
+    ``p_cap`` with the SAME ``view_batch`` (``turntable_capacity``) — a
+    batch's slot demand is its views' combined demand.
     """
     light = _norm_light(light_direction)
 
-    def one(angle3):
-        v, n = _pose_triangles(tri_verts, tri_norms, angle3, post_shift)
-        color, _z, _normal, used = _render_view_pallas(
-            v, n, tri_colors, config, p_cap, chunk, group, interpret, light)
-        if post == "u8":
-            color = color.astype(jnp.uint8)
-        return color, used
+    if view_batch > 1:
+        if angles.shape[0] % view_batch:
+            raise ValueError(
+                f"view_batch={view_batch} must divide {angles.shape[0]} views")
+        shifts = jnp.broadcast_to(jnp.asarray(post_shift, jnp.float32),
+                                  (angles.shape[0], 3))
+        images, used = _sweep_batched(
+            tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
+            chunk, group, interpret, light, post, view_batch)
+    else:
+        def one(angle3):
+            v, n = _pose_triangles(tri_verts, tri_norms, angle3, post_shift)
+            color, _z, _normal, used = _render_view_pallas(
+                v, n, tri_colors, config, p_cap, chunk, group, interpret,
+                light)
+            if post == "u8":
+                color = color.astype(jnp.uint8)
+            return color, used
 
-    images, used = _sweep(one, angles)
+        images, used = _sweep(one, angles)
     if check_capacity:
         return images, jnp.max(used)
     return images
@@ -187,7 +284,8 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
 
 def turntable_capacity(tri_verts, tri_norms, config: RenderConfig,
                        n_samples: int = 8, headroom: float = 1.5,
-                       post_shift=(0.0, 0.0, 1.0), group: int = raster_pallas.GROUP) -> int:
+                       post_shift=(0.0, 0.0, 1.0), group: int = raster_pallas.GROUP,
+                       view_batch: int = 1) -> int:
     """Static bin capacity covering a full turntable sweep (one host sync).
 
     Samples bin-slot demand at ``n_samples`` angles, applies ``headroom``.
@@ -195,22 +293,33 @@ def turntable_capacity(tri_verts, tri_norms, config: RenderConfig,
     return sequence_capacity(tri_verts, tri_norms,
                              turntable_angles(n_samples), None, config,
                              headroom=headroom, post_shift=post_shift,
-                             group=group)
+                             group=group, view_batch=view_batch)
 
 
 def sequence_capacity(tri_verts, tri_norms, angles, shifts,
                       config: RenderConfig, headroom: float = 1.5,
-                      post_shift=(0.0, 0.0, 1.0), group: int = raster_pallas.GROUP) -> int:
+                      post_shift=(0.0, 0.0, 1.0), group: int = raster_pallas.GROUP,
+                      view_batch: int = 1) -> int:
     """Static bin capacity covering a pose sequence (one host sync).
 
     Evaluates bin-slot demand at every given pose (``shifts=None`` → the
-    fixed ``post_shift``), takes the peak, applies ``headroom``.
+    fixed ``post_shift``), takes the peak, applies ``headroom``. With
+    ``view_batch > 1`` the demand unit is a BATCH of stacked views — size
+    with the same ``view_batch`` the sweep will render with.
     """
     from ..ops import binning, raster_pallas
 
     if shifts is None:
         shifts = jnp.broadcast_to(jnp.asarray(post_shift, jnp.float32),
                                   (angles.shape[0], 3))
+
+    if view_batch > 1:
+        assert angles.shape[0] % view_batch == 0
+        peak = int(_batched_peak_slots(tri_verts, tri_norms,
+                                       angles.reshape(-1, view_batch, 3),
+                                       shifts.reshape(-1, view_batch, 3),
+                                       config=config, group=group))
+        return binning.capacity_bucket(int(peak * headroom), 128)
 
     @jax.jit
     def totals(tv, tn, ang, shf):
@@ -229,8 +338,43 @@ def sequence_capacity(tri_verts, tri_norms, angles, shifts,
     return binning.capacity_bucket(int(peak * headroom), 128)
 
 
+@partial(jax.jit, static_argnames=("config", "group"))
+def _batched_peak_slots(tri_verts, tri_norms, angles_b, shifts_b,
+                        config: RenderConfig, group: int):
+    """Peak per-BATCH slot demand over (B, V, 3) batched poses.
+
+    MUST mirror ``_stage_b``'s batched dispatch decision the way
+    ``grouped_slot_total`` mirrors the single-view one: a stacked workload
+    past the packed binner's budgets degrades to the un-grouped path,
+    whose demand is the raw pair count.
+    """
+    from ..ops.binsort_pallas import group_histogram
+
+    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    ntx = -(-config.width // tw)
+    nty = -(-config.height // th)
+    v = int(angles_b.shape[1])
+    nty_total = v * raster_pallas.view_row_stride(nty, group)
+    t_cat = v * int(tri_verts.shape[0])
+    sub = 128 // group
+
+    def one(pose):
+        a_b, s_b = pose
+        _rows, tx0, cx, ty0, cy, counts = _batched_view_spans(
+            tri_verts, tri_norms, None, a_b, s_b, config, group)
+        if not (t_cat < (1 << 17) and ntx <= 63
+                and ntx * nty_total < (1 << 14)):
+            return jnp.sum(counts)     # un-grouped path's demand
+        gchunks = group_histogram(tx0, cx, ty0, cy, ntx, nty_total,
+                                  group, sub)[3]
+        return 128 * jnp.sum(gchunks)
+
+    return jnp.max(jax.lax.map(one, (angles_b, shifts_b)))
+
+
 @partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
-                                   "group", "check_capacity", "post"))
+                                   "group", "check_capacity", "post",
+                                   "view_batch"))
 def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                            tri_colors: jnp.ndarray, angles: jnp.ndarray,
                            shifts: jnp.ndarray, config: RenderConfig,
@@ -238,7 +382,8 @@ def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                            light_direction=(0.0, 0.0, 1.0),
                            interpret: bool = False, group: int = raster_pallas.GROUP,
                            check_capacity: bool = False,
-                           post: str = "f32") -> jnp.ndarray:
+                           post: str = "f32",
+                           view_batch: int = 1) -> jnp.ndarray:
     """Arbitrary pose-sequence animation as ONE dispatch (one chip).
 
     The general form of ``render_turntable_pallas``: each frame i rotates
@@ -250,19 +395,30 @@ def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     ``check_capacity=True`` to get the sweep's true peak bin demand back.
     Returns (N, H, W, 3) shaded color images (float32, or uint8 with
     ``post="u8"`` — 4x less output traffic, display-ready frames).
+    ``view_batch`` as in ``render_turntable_pallas`` (size ``p_cap`` with
+    the same value via ``sequence_capacity``).
     """
     light = _norm_light(light_direction)
 
-    def one(pose):
-        angle3, shift3 = pose
-        v, n = _pose_triangles(tri_verts, tri_norms, angle3, shift3)
-        color, _z, _normal, used = _render_view_pallas(
-            v, n, tri_colors, config, p_cap, chunk, group, interpret, light)
-        if post == "u8":
-            color = color.astype(jnp.uint8)
-        return color, used
+    if view_batch > 1:
+        if angles.shape[0] % view_batch:
+            raise ValueError(
+                f"view_batch={view_batch} must divide {angles.shape[0]} poses")
+        images, used = _sweep_batched(
+            tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
+            chunk, group, interpret, light, post, view_batch)
+    else:
+        def one(pose):
+            angle3, shift3 = pose
+            v, n = _pose_triangles(tri_verts, tri_norms, angle3, shift3)
+            color, _z, _normal, used = _render_view_pallas(
+                v, n, tri_colors, config, p_cap, chunk, group, interpret,
+                light)
+            if post == "u8":
+                color = color.astype(jnp.uint8)
+            return color, used
 
-    images, used = _sweep(one, (angles, shifts))
+        images, used = _sweep(one, (angles, shifts))
     if check_capacity:
         return images, jnp.max(used)
     return images

@@ -188,3 +188,47 @@ def test_sequence_post_u8_quantizes():
         post="u8"))
     assert sq.dtype == np.uint8
     np.testing.assert_array_equal(sq, u8)
+
+
+def test_view_batched_sweep_bit_identical():
+    """view_batch > 1 stacks V views' tiles into ONE kernel launch; every
+    view's pixels must stay BIT-IDENTICAL to the view_batch=1 sweep (plane
+    evaluation is view-relative in the stacked grid). Covers batch sizes
+    that divide the sweep both evenly into >1 scan steps (V=2) and as one
+    single launch (V=4), plus the sequence API with varying shifts."""
+    tv, tn, tc = tiny_scene(t=24, seed=9)
+    angles = multiview.turntable_angles(4)
+    p_cap1 = multiview.sequence_capacity(tv, tn, angles, None, CONFIG)
+    want = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, CONFIG, p_cap=p_cap1, interpret=True))
+
+    for vb in (2, 4):
+        p_cap = multiview.sequence_capacity(tv, tn, angles, None, CONFIG,
+                                            view_batch=vb)
+        got, used = multiview.render_turntable_pallas(
+            tv, tn, tc, angles, CONFIG, p_cap=p_cap, interpret=True,
+            view_batch=vb, check_capacity=True)
+        assert int(used) <= p_cap
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    # the sequence API with per-pose shifts, batched, matches unbatched
+    shifts = jnp.asarray([[0.0, 0.0, 1.0 + 0.5 * i] for i in range(4)],
+                         jnp.float32)
+    p_seq1 = multiview.sequence_capacity(tv, tn, angles, shifts, CONFIG)
+    seq1 = np.asarray(multiview.render_sequence_pallas(
+        tv, tn, tc, angles, shifts, CONFIG, p_cap=p_seq1, interpret=True))
+    p_seq2 = multiview.sequence_capacity(tv, tn, angles, shifts, CONFIG,
+                                         view_batch=2)
+    seq2 = np.asarray(multiview.render_sequence_pallas(
+        tv, tn, tc, angles, shifts, CONFIG, p_cap=p_seq2, interpret=True,
+        view_batch=2))
+    np.testing.assert_array_equal(seq2, seq1)
+
+    # u8 post mode through the batched path
+    u8 = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, CONFIG,
+        p_cap=multiview.sequence_capacity(tv, tn, angles, None, CONFIG,
+                                          view_batch=2),
+        interpret=True, view_batch=2, post="u8"))
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8, want.astype(np.uint8))

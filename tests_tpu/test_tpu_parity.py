@@ -134,6 +134,37 @@ def test_shard_map_pallas_compiles_on_device(objects_dir):
     np.testing.assert_array_equal(got, want)
 
 
+def test_view_batched_sweep_on_device(objects_dir):
+    """view_batch=2 through the REAL Mosaic kernel: the stacked tile grid
+    (view-relative plane eval + stacked y-bbox) must render every view
+    bit-identically to the per-view sweep on hardware, not just in the
+    interpreter (interpret mode provably hides Mosaic breaks)."""
+    from cython3dmodelrenderer_tpu.config import RenderConfig
+    from cython3dmodelrenderer_tpu.parallel import multiview
+
+    path = os.path.join(objects_dir, "T-Rex.obj")
+    if not os.path.exists(path):
+        pytest.skip("T-Rex unavailable")
+    model = _load(path, True)
+    model.shift([0.0, 0.0, -1.0])     # recenter: the sweep re-applies z+1
+    tv = model.vertices_by_triangles
+    tn = model.normals_by_triangles
+    tc = jnp.asarray(model.colors_by_triangles, jnp.float32)
+    config = RenderConfig(height=512, width=512, fov=45)
+    angles = multiview.turntable_angles(4)
+
+    p1 = multiview.sequence_capacity(tv, tn, angles, None, config)
+    want = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, config, p_cap=p1))
+    p2 = multiview.sequence_capacity(tv, tn, angles, None, config,
+                                     view_batch=2)
+    got, used = multiview.render_turntable_pallas(
+        tv, tn, tc, angles, config, p_cap=p2, view_batch=2,
+        check_capacity=True)
+    assert int(used) <= p2
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_triangle_sharded_pallas_compiles_on_device(objects_dir):
     """Triangle-sharded mode (z-argmin merge collectives) with the real
     Mosaic kernel on a 1-device mesh — same rationale as the view-sharded

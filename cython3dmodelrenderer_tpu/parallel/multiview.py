@@ -434,7 +434,8 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
                              axis: str = "views", post_shift=(0.0, 0.0, 1.0),
                              bbox_size: int = 64, chunk: int = 512,
                              backend: str = "jnp", p_cap: int = None,
-                             interpret: bool = False, group: int = raster_pallas.GROUP):
+                             interpret: bool = False, group: int = raster_pallas.GROUP,
+                             view_batch: int = 1):
     """shard_map the turntable over a mesh axis: each device renders N/D views.
 
     Geometry is replicated (it is small); views are sharded. No collectives
@@ -443,14 +444,20 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
     rasterizer per device; ``p_cap`` (static bin capacity) is derived via
     ``turntable_capacity`` when not given (one host sync before the sharded
     dispatch). ``interpret=True`` runs the Pallas kernels in interpreter mode
-    so the sharded production path is testable on a CPU mesh.
+    so the sharded production path is testable on a CPU mesh. ``view_batch``
+    composes with sharding: each device renders ITS views in stacked
+    batches of V (pallas backend only).
     """
     n_dev = mesh.shape[axis]
     assert angles.shape[0] % n_dev == 0, \
         f"views ({angles.shape[0]}) must divide over {n_dev} devices"
+    if view_batch > 1:
+        assert (angles.shape[0] // n_dev) % view_batch == 0, \
+            "view_batch must divide each device's view count"
     if backend == "pallas" and p_cap is None:
         p_cap = turntable_capacity(tri_verts, tri_norms, config,
-                                   post_shift=post_shift, group=group)
+                                   post_shift=post_shift, group=group,
+                                   view_batch=view_batch)
 
     # check_vma=False for the Pallas branch: pallas_call out_shapes carry no
     # varying-mesh-axes annotation; the body is collective-free (pure view
@@ -463,7 +470,8 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
             return render_turntable_pallas(tv, tn, tc, ang, config,
                                            p_cap=p_cap,
                                            post_shift=post_shift,
-                                           interpret=interpret, group=group)
+                                           interpret=interpret, group=group,
+                                           view_batch=view_batch)
         return render_turntable(tv, tn, tc, ang, config,
                                 post_shift=post_shift, bbox_size=bbox_size,
                                 chunk=chunk)

@@ -232,3 +232,19 @@ def test_view_batched_sweep_bit_identical():
         interpret=True, view_batch=2, post="u8"))
     assert u8.dtype == np.uint8
     np.testing.assert_array_equal(u8, want.astype(np.uint8))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_view_batched_composes_with_sharding():
+    """view_batch inside each device's shard: sharded+batched must equal
+    the plain single-chip sweep bit-for-bit (pallas interpret)."""
+    tv, tn, tc = tiny_scene(t=24, seed=9)
+    mesh = make_mesh([("views", 4)])
+    angles = multiview.turntable_angles(8)   # 2 per device, batched as 2
+    p1 = multiview.sequence_capacity(tv, tn, angles, None, CONFIG)
+    want = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, CONFIG, p_cap=p1, interpret=True))
+    got = np.asarray(multiview.render_turntable_sharded(
+        tv, tn, tc, angles, CONFIG, mesh=mesh, backend="pallas",
+        interpret=True, view_batch=2))
+    np.testing.assert_array_equal(got, want)

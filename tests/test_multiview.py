@@ -248,3 +248,33 @@ def test_view_batched_composes_with_sharding():
         tv, tn, tc, angles, CONFIG, mesh=mesh, backend="pallas",
         interpret=True, view_batch=2))
     np.testing.assert_array_equal(got, want)
+
+
+def test_view_batched_ungrouped_fallback():
+    """The un-grouped (group=1) kernel is the degrade target past the
+    packed binner's budgets — stacked view batching must render correctly
+    through it too (view-relative planes + stacked y-bbox in the one-tile
+    kernel)."""
+    from cython3dmodelrenderer_tpu.ops import binning
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    tv, tn, tc = tiny_scene(t=24, seed=9)
+    angles = multiview.turntable_angles(2)
+    shifts = jnp.broadcast_to(jnp.float32([0.0, 0.0, 1.0]), (2, 3))
+    light = multiview._norm_light((0.0, 0.0, 1.0))
+
+    rows, tx0, cx, ty0, cy, counts = multiview._batched_view_spans(
+        tv, tn, tc, angles, shifts, CONFIG, group=1)
+    p_cap = binning.capacity_bucket(int(jnp.sum(counts)), 128)
+    th, tw = rp.TILE_H, rp.TILE_W
+    (color, z, _n), _na, used = rp._stage_b_jit(
+        rows, tx0, cx, ty0, cy, counts, config=CONFIG, p_cap=p_cap,
+        grid_cap=0, tile_h=th, tile_w=tw, chunk=128, interpret=True,
+        group=1, n_views=2)
+    assert int(used) <= p_cap
+
+    for i in range(2):
+        _c, z1, _n1, _u = multiview._render_view_pallas(
+            *multiview._pose_triangles(tv, tn, angles[i], shifts[i]),
+            tc, CONFIG, p_cap, 128, 1, True, light)
+        np.testing.assert_array_equal(np.asarray(z[i]), np.asarray(z1))

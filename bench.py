@@ -143,7 +143,7 @@ def bench_fast():
                          vs_baseline=BASELINE_MS, fast_shade=True)
 
 
-def bench_turntable(view_batch=1):
+def bench_turntable(view_batch=1, fast_shade=False):
     import jax
     import jax.numpy as jnp
 
@@ -171,13 +171,16 @@ def bench_turntable(view_batch=1):
                                                  p_cap=p_cap,
                                                  check_capacity=True,
                                                  post="u8",
-                                                 view_batch=view_batch)
+                                                 view_batch=view_batch,
+                                                 fast_shade=fast_shade)
 
     _imgs, used = sweep()
     assert int(used) <= p_cap, \
         f"turntable bin demand {int(used)} overflowed p_cap {p_cap}"
     ms = _time_frames(sweep, n_warm=2, n_iter=3)
     tag = f", view_batch={view_batch}" if view_batch > 1 else ""
+    if fast_shade:
+        tag += ", fast-shade"
     return {
         "metric": f"64-camera T-Rex turntable 1024x1024 ms/view{tag}",
         "value": round(ms / 64, 3),
@@ -198,12 +201,16 @@ def main():
     parser.add_argument("--view-batch", type=int, default=1,
                         help="views per kernel launch for the turntable "
                              "config (A/B against the per-view sweep)")
+    parser.add_argument("--fast-sweep", action="store_true",
+                        help="opt-in Gouraud fast-shade mode for the "
+                             "turntable config")
     args = parser.parse_args()
     if args.sign_cover:
         print(json.dumps(bench_trex(sign_cover=True)))
         return
-    if args.view_batch > 1:
-        print(json.dumps(bench_turntable(view_batch=args.view_batch)))
+    if args.view_batch > 1 or args.fast_sweep:
+        print(json.dumps(bench_turntable(view_batch=args.view_batch,
+                                         fast_shade=args.fast_sweep)))
         return
     benches = {
         "trex": bench_trex,

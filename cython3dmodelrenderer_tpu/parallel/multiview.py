@@ -120,7 +120,8 @@ def _sweep(body, xs, unroll: int = 4):
 
 def _render_view_pallas(tri_verts, tri_norms, tri_colors,
                         config: RenderConfig, p_cap: int, chunk: int,
-                        group: int, interpret: bool, light):
+                        group: int, interpret: bool, light,
+                        fast: bool = False):
     """One posed view through the production Pallas pipeline.
 
     Shared by the single-chip turntable, view-sharded, and triangle-sharded
@@ -136,6 +137,17 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
     degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
     act = jnp.logical_and(~degenerate, ~backfacing)
     ts = project_to_screen(tri_verts, config)
+    if fast:
+        # opt-in Gouraud fast mode (render_frame's "fast_lambert_u8"
+        # analogue): Lambert baked into the per-vertex colors, 3 attr
+        # channels, no deferred shade; normals G-buffer reads zeros
+        shaded = lambert_shade(tri_colors, tri_norms, light)
+        rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
+            ts, shaded, None, act, config, th, tw)
+        (color, z, normal), _na, used = raster_pallas._stage_b(
+            rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
+            th, tw, chunk, interpret, group, n_attrs=3)
+        return color, z, normal, used
     rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
         ts, tri_colors, tri_norms, act, config, th, tw)
     (color, z, normal), _na, used = raster_pallas._stage_b(
@@ -145,7 +157,8 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
 
 
 def _batched_view_spans(tri_verts, tri_norms, tri_colors, angles_b, shifts_b,
-                        config: RenderConfig, group: int):
+                        config: RenderConfig, group: int,
+                        light=None, fast: bool = False):
     """Pose + project + plane-stage a small batch of views and concatenate
     them in the stacked-tile-row layout ``raster_pallas._stage_b`` consumes
     with ``n_views > 1`` (view v's tile rows offset by ``v * stride``).
@@ -164,8 +177,12 @@ def _batched_view_spans(tri_verts, tri_norms, tri_colors, angles_b, shifts_b,
         degenerate, backfacing = visibility_masks(pv, pn)
         act = jnp.logical_and(~degenerate, ~backfacing)
         ts = project_to_screen(pv, config)
+        if fast:   # Gouraud: Lambert baked per-vertex with POSED normals
+            colors_v, normals_v = lambert_shade(tri_colors, pn, light), None
+        else:
+            colors_v, normals_v = tri_colors, pn
         rows, tx0, cx, ty0, cy, counts = binning.plane_data(
-            ts, act, config, th, tw, colors=tri_colors, normals=pn)
+            ts, act, config, th, tw, colors=colors_v, normals=normals_v)
         # The y-BBOX moves to STACKED image coordinates (exact: integer
         # adds in f32) while the plane rows stay view-relative — the
         # kernels test the y-bbox against the global pixel row, which is
@@ -179,7 +196,8 @@ def _batched_view_spans(tri_verts, tri_norms, tri_colors, angles_b, shifts_b,
 
 def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
                              shifts_b, config: RenderConfig, p_cap: int,
-                             chunk: int, group: int, interpret: bool, light):
+                             chunk: int, group: int, interpret: bool, light,
+                             fast: bool = False):
     """A batch of posed views through ONE grouped-kernel launch.
 
     The views stack vertically in tile-id space (VERDICT r2 task: "batch
@@ -190,18 +208,25 @@ def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
     is view-relative — ``raster_pallas._stage_b`` docs). Returns
     (shaded (V, H, W, 3), z, normal, cap_used).
     """
+    from ..ops import binning
+
     rows, tx0, cx, ty0, cy, counts = _batched_view_spans(
-        tri_verts, tri_norms, tri_colors, angles_b, shifts_b, config, group)
+        tri_verts, tri_norms, tri_colors, angles_b, shifts_b, config, group,
+        light=light, fast=fast)
     th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
     (color, z, normal), _na, used = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
-        th, tw, chunk, interpret, group, n_views=int(angles_b.shape[0]))
+        th, tw, chunk, interpret, group,
+        n_attrs=3 if fast else binning.N_ATTRS, n_views=int(angles_b.shape[0]))
+    if fast:    # colors are already per-vertex shaded (Gouraud)
+        return color, z, normal, used
     return lambert_shade(color, light=light, n_buffer=normal), z, normal, used
 
 
 def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
                    config: RenderConfig, p_cap: int, chunk: int, group: int,
-                   interpret: bool, light, post: str, view_batch: int):
+                   interpret: bool, light, post: str, view_batch: int,
+                   fast: bool = False):
     """Scan over view batches; each step renders ``view_batch`` views
     through one stacked kernel launch (see ``_render_viewbatch_pallas``)."""
     ab = angles.reshape(-1, view_batch, 3)
@@ -211,7 +236,7 @@ def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
         a_b, s_b = xs
         color, _z, _normal, used = _render_viewbatch_pallas(
             tri_verts, tri_norms, tri_colors, a_b, s_b, config, p_cap,
-            chunk, group, interpret, light)
+            chunk, group, interpret, light, fast=fast)
         if post == "u8":
             color = color.astype(jnp.uint8)
         return color, used
@@ -223,7 +248,7 @@ def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
 
 @partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
                                    "group", "check_capacity", "post",
-                                   "view_batch"))
+                                   "view_batch", "fast_shade"))
 def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             tri_colors: jnp.ndarray, angles: jnp.ndarray,
                             config: RenderConfig, p_cap: int,
@@ -233,7 +258,8 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             group: int = raster_pallas.GROUP,
                             check_capacity: bool = False,
                             post: str = "f32",
-                            view_batch: int = 1) -> jnp.ndarray:
+                            view_batch: int = 1,
+                            fast_shade: bool = False) -> jnp.ndarray:
     """Multi-view render through the Pallas rasterizer (one chip).
 
     Views run sequentially via a partially unrolled ``lax.scan`` (each view
@@ -254,6 +280,13 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     once per batch; pixels stay bit-identical to ``view_batch=1``. Size
     ``p_cap`` with the SAME ``view_batch`` (``turntable_capacity``) — a
     batch's slot demand is its views' combined demand.
+
+    ``fast_shade=True`` is the sweep analogue of the single-frame
+    ``post="fast_lambert_u8"`` opt-in: Lambert bakes into the per-vertex
+    colors (classic Gouraud) with each view's POSED normals, the kernel
+    carries 3 attribute channels instead of 6 and the deferred shade
+    drops out. Frames equal ``render_frame``'s fast mode bit-for-bit; the
+    default stays the exact deferred pipeline.
     """
     light = _norm_light(light_direction)
 
@@ -265,13 +298,14 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                                   (angles.shape[0], 3))
         images, used = _sweep_batched(
             tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
-            chunk, group, interpret, light, post, view_batch)
+            chunk, group, interpret, light, post, view_batch,
+            fast=fast_shade)
     else:
         def one(angle3):
             v, n = _pose_triangles(tri_verts, tri_norms, angle3, post_shift)
             color, _z, _normal, used = _render_view_pallas(
                 v, n, tri_colors, config, p_cap, chunk, group, interpret,
-                light)
+                light, fast=fast_shade)
             if post == "u8":
                 color = color.astype(jnp.uint8)
             return color, used
@@ -374,7 +408,7 @@ def _batched_peak_slots(tri_verts, tri_norms, angles_b, shifts_b,
 
 @partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
                                    "group", "check_capacity", "post",
-                                   "view_batch"))
+                                   "view_batch", "fast_shade"))
 def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                            tri_colors: jnp.ndarray, angles: jnp.ndarray,
                            shifts: jnp.ndarray, config: RenderConfig,
@@ -383,7 +417,8 @@ def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                            interpret: bool = False, group: int = raster_pallas.GROUP,
                            check_capacity: bool = False,
                            post: str = "f32",
-                           view_batch: int = 1) -> jnp.ndarray:
+                           view_batch: int = 1,
+                           fast_shade: bool = False) -> jnp.ndarray:
     """Arbitrary pose-sequence animation as ONE dispatch (one chip).
 
     The general form of ``render_turntable_pallas``: each frame i rotates
@@ -406,14 +441,15 @@ def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                 f"view_batch={view_batch} must divide {angles.shape[0]} poses")
         images, used = _sweep_batched(
             tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
-            chunk, group, interpret, light, post, view_batch)
+            chunk, group, interpret, light, post, view_batch,
+            fast=fast_shade)
     else:
         def one(pose):
             angle3, shift3 = pose
             v, n = _pose_triangles(tri_verts, tri_norms, angle3, shift3)
             color, _z, _normal, used = _render_view_pallas(
                 v, n, tri_colors, config, p_cap, chunk, group, interpret,
-                light)
+                light, fast=fast_shade)
             if post == "u8":
                 color = color.astype(jnp.uint8)
             return color, used

@@ -278,3 +278,39 @@ def test_view_batched_ungrouped_fallback():
             *multiview._pose_triangles(tv, tn, angles[i], shifts[i]),
             tc, CONFIG, p_cap, 128, 1, True, light)
         np.testing.assert_array_equal(np.asarray(z[i]), np.asarray(z1))
+
+
+def test_fast_shade_sweep():
+    """Opt-in Gouraud fast mode in the sweeps: every frame must equal the
+    single-frame fast-shade dispatch (render_frame post="fast_lambert_u8")
+    bit-for-bit, for both the per-view and the view-batched sweep."""
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    tv, tn, tc = tiny_scene(t=24, seed=9)
+    angles = multiview.turntable_angles(4)
+    shifts = jnp.broadcast_to(jnp.float32([0.0, 0.0, 1.0]), (4, 3))
+    light = multiview._norm_light((0.0, 0.0, 1.0))
+    p_cap = multiview.sequence_capacity(tv, tn, angles, None, CONFIG)
+
+    want = []
+    for i in range(4):
+        pv, pn = multiview._pose_triangles(tv, tn, angles[i], shifts[i])
+        *_rest, img = rp.render_frame(pv, pn, tc, CONFIG, p_cap, 0,
+                                      group=rp.GROUP, interpret=True,
+                                      post="fast_lambert_u8", light=light)
+        want.append(np.asarray(img))
+    want = np.stack(want)
+
+    got1 = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, CONFIG, p_cap=p_cap, interpret=True,
+        post="u8", fast_shade=True))
+    np.testing.assert_array_equal(got1, want)
+
+    p_cap2 = multiview.sequence_capacity(tv, tn, angles, None, CONFIG,
+                                         view_batch=2)
+    got2 = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, CONFIG, p_cap=p_cap2, interpret=True,
+        post="u8", fast_shade=True, view_batch=2))
+    # batched fast mode: same Gouraud pipeline, stacked grid — the
+    # per-frame result must still match exactly
+    np.testing.assert_array_equal(got2, want)

@@ -23,9 +23,10 @@ timeout 900 python bench.py --sign-cover 2>&1 | tail -3
 echo "=== 4. bench.py all configs ==="
 timeout 1800 python bench.py --config all 2>&1 | tail -8
 
-echo "=== 4b. turntable view-batch A/B ==="
+echo "=== 4b. turntable view-batch / fast-sweep A/B ==="
 timeout 900 python bench.py --view-batch 2 2>&1 | tail -2
 timeout 900 python bench.py --view-batch 4 2>&1 | tail -2
+timeout 900 python bench.py --view-batch 4 --fast-sweep 2>&1 | tail -2
 
 echo "=== 5. stage chain (per-stage split) ==="
 [ -f /tmp/stage_chain3.py ] && timeout 600 python /tmp/stage_chain3.py 2>&1 | tail -25

@@ -192,7 +192,7 @@ def bench_turntable(view_batch=1, fast_shade=False):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", default="trex",
+    parser.add_argument("--config", default=None,
                         choices=["trex", "cube", "bunny", "igor",
                                  "turntable", "fast", "all"])
     parser.add_argument("--sign-cover", action="store_true",
@@ -206,12 +206,19 @@ def main():
                              "turntable config")
     args = parser.parse_args()
     if args.sign_cover:
+        if args.config not in (None, "trex"):
+            parser.error("--sign-cover applies to the trex config only")
         print(json.dumps(bench_trex(sign_cover=True)))
         return
     if args.view_batch > 1 or args.fast_sweep:
+        if args.config not in (None, "turntable"):
+            parser.error("--view-batch/--fast-sweep apply to the turntable "
+                         "config only")
         print(json.dumps(bench_turntable(view_batch=args.view_batch,
                                          fast_shade=args.fast_sweep)))
         return
+    if args.config is None:
+        args.config = "trex"
     benches = {
         "trex": bench_trex,
         "cube": bench_cube,

@@ -797,7 +797,7 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
     over-budget geometry into ``group_histogram`` (whose packed sort key
     would silently corrupt at >= 2^14 tiles).
     """
-    from .binsort_pallas import group_histogram
+    from .binsort_pallas import group_histogram, grouped_limits_ok
 
     sub = chunk // group
     _rows, tx0, cx, ty0, cy, counts = binning.plane_data(
@@ -806,7 +806,9 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
     nty = -(-config.height // tile_h)
     nty_g = -(-nty // group) * group
     t = int(tx0.shape[0])
-    if not (t < (1 << 17) and ntx <= 63 and ntx * nty_g < (1 << 14)):
+    # slot_cap=0: the capacity budget can't be checked before the capacity
+    # exists — _stage_b re-checks with the real bucket at dispatch
+    if not grouped_limits_ok(t, 0, ntx, nty_g):
         return jnp.sum(counts)        # un-grouped path's demand
     _tile_counts, _stids, _sstripes, gchunks = group_histogram(
         tx0, cx, ty0, cy, ntx, nty_g, group, sub)

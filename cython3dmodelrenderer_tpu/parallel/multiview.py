@@ -131,7 +131,7 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
     demand the static ``p_cap`` must cover (geometry was silently truncated
     iff ``cap_used > p_cap``).
     """
-    from ..ops import raster_pallas
+    from ..ops import binning, raster_pallas
 
     th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
     degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
@@ -141,18 +141,18 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
         # opt-in Gouraud fast mode (render_frame's "fast_lambert_u8"
         # analogue): Lambert baked into the per-vertex colors, 3 attr
         # channels, no deferred shade; normals G-buffer reads zeros
-        shaded = lambert_shade(tri_colors, tri_norms, light)
-        rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
-            ts, shaded, None, act, config, th, tw)
-        (color, z, normal), _na, used = raster_pallas._stage_b(
-            rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
-            th, tw, chunk, interpret, group, n_attrs=3)
-        return color, z, normal, used
+        attr_colors, attr_normals, n_attrs = (
+            lambert_shade(tri_colors, tri_norms, light), None, 3)
+    else:
+        attr_colors, attr_normals, n_attrs = (tri_colors, tri_norms,
+                                              binning.N_ATTRS)
     rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
-        ts, tri_colors, tri_norms, act, config, th, tw)
+        ts, attr_colors, attr_normals, act, config, th, tw)
     (color, z, normal), _na, used = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
-        th, tw, chunk, interpret, group)
+        th, tw, chunk, interpret, group, n_attrs=n_attrs)
+    if fast:    # colors are already per-vertex shaded (Gouraud)
+        return color, z, normal, used
     return lambert_shade(color, light=light, n_buffer=normal), z, normal, used
 
 
@@ -246,6 +246,33 @@ def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
     return images.reshape((-1,) + images.shape[2:]), used
 
 
+def _run_sweep(tri_verts, tri_norms, tri_colors, angles, shifts,
+               config: RenderConfig, p_cap: int, chunk: int, group: int,
+               interpret: bool, light, post: str, view_batch: int,
+               fast_shade: bool):
+    """The one sweep dispatcher behind the turntable AND sequence entry
+    points: batched (stacked views per launch) or per-view scan."""
+    if view_batch > 1:
+        if angles.shape[0] % view_batch:
+            raise ValueError(
+                f"view_batch={view_batch} must divide {angles.shape[0]} poses")
+        return _sweep_batched(
+            tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
+            chunk, group, interpret, light, post, view_batch, fast=fast_shade)
+
+    def one(pose):
+        angle3, shift3 = pose
+        v, n = _pose_triangles(tri_verts, tri_norms, angle3, shift3)
+        color, _z, _normal, used = _render_view_pallas(
+            v, n, tri_colors, config, p_cap, chunk, group, interpret,
+            light, fast=fast_shade)
+        if post == "u8":
+            color = color.astype(jnp.uint8)
+        return color, used
+
+    return _sweep(one, (angles, shifts))
+
+
 @partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
                                    "group", "check_capacity", "post",
                                    "view_batch", "fast_shade"))
@@ -288,29 +315,12 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     drops out. Frames equal ``render_frame``'s fast mode bit-for-bit; the
     default stays the exact deferred pipeline.
     """
-    light = _norm_light(light_direction)
-
-    if view_batch > 1:
-        if angles.shape[0] % view_batch:
-            raise ValueError(
-                f"view_batch={view_batch} must divide {angles.shape[0]} views")
-        shifts = jnp.broadcast_to(jnp.asarray(post_shift, jnp.float32),
-                                  (angles.shape[0], 3))
-        images, used = _sweep_batched(
-            tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
-            chunk, group, interpret, light, post, view_batch,
-            fast=fast_shade)
-    else:
-        def one(angle3):
-            v, n = _pose_triangles(tri_verts, tri_norms, angle3, post_shift)
-            color, _z, _normal, used = _render_view_pallas(
-                v, n, tri_colors, config, p_cap, chunk, group, interpret,
-                light, fast=fast_shade)
-            if post == "u8":
-                color = color.astype(jnp.uint8)
-            return color, used
-
-        images, used = _sweep(one, angles)
+    shifts = jnp.broadcast_to(jnp.asarray(post_shift, jnp.float32),
+                              (angles.shape[0], 3))
+    images, used = _run_sweep(
+        tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
+        chunk, group, interpret, _norm_light(light_direction), post,
+        view_batch, fast_shade)
     if check_capacity:
         return images, jnp.max(used)
     return images
@@ -348,7 +358,9 @@ def sequence_capacity(tri_verts, tri_norms, angles, shifts,
                                   (angles.shape[0], 3))
 
     if view_batch > 1:
-        assert angles.shape[0] % view_batch == 0
+        if angles.shape[0] % view_batch:
+            raise ValueError(
+                f"view_batch={view_batch} must divide {angles.shape[0]} poses")
         peak = int(_batched_peak_slots(tri_verts, tri_norms,
                                        angles.reshape(-1, view_batch, 3),
                                        shifts.reshape(-1, view_batch, 3),
@@ -380,9 +392,11 @@ def _batched_peak_slots(tri_verts, tri_norms, angles_b, shifts_b,
     MUST mirror ``_stage_b``'s batched dispatch decision the way
     ``grouped_slot_total`` mirrors the single-view one: a stacked workload
     past the packed binner's budgets degrades to the un-grouped path,
-    whose demand is the raw pair count.
+    whose demand is the raw pair count. (slot_cap=0 in the budget check:
+    the capacity budget can't be checked before the capacity exists —
+    _stage_b re-checks it with the real bucket at dispatch.)
     """
-    from ..ops.binsort_pallas import group_histogram
+    from ..ops.binsort_pallas import group_histogram, grouped_limits_ok
 
     th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
     ntx = -(-config.width // tw)
@@ -396,8 +410,7 @@ def _batched_peak_slots(tri_verts, tri_norms, angles_b, shifts_b,
         a_b, s_b = pose
         _rows, tx0, cx, ty0, cy, counts = _batched_view_spans(
             tri_verts, tri_norms, None, a_b, s_b, config, group)
-        if not (t_cat < (1 << 17) and ntx <= 63
-                and ntx * nty_total < (1 << 14)):
+        if not grouped_limits_ok(t_cat, 0, ntx, nty_total):
             return jnp.sum(counts)     # un-grouped path's demand
         gchunks = group_histogram(tx0, cx, ty0, cy, ntx, nty_total,
                                   group, sub)[3]
@@ -433,28 +446,10 @@ def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     ``view_batch`` as in ``render_turntable_pallas`` (size ``p_cap`` with
     the same value via ``sequence_capacity``).
     """
-    light = _norm_light(light_direction)
-
-    if view_batch > 1:
-        if angles.shape[0] % view_batch:
-            raise ValueError(
-                f"view_batch={view_batch} must divide {angles.shape[0]} poses")
-        images, used = _sweep_batched(
-            tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
-            chunk, group, interpret, light, post, view_batch,
-            fast=fast_shade)
-    else:
-        def one(pose):
-            angle3, shift3 = pose
-            v, n = _pose_triangles(tri_verts, tri_norms, angle3, shift3)
-            color, _z, _normal, used = _render_view_pallas(
-                v, n, tri_colors, config, p_cap, chunk, group, interpret,
-                light, fast=fast_shade)
-            if post == "u8":
-                color = color.astype(jnp.uint8)
-            return color, used
-
-        images, used = _sweep(one, (angles, shifts))
+    images, used = _run_sweep(
+        tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
+        chunk, group, interpret, _norm_light(light_direction), post,
+        view_batch, fast_shade)
     if check_capacity:
         return images, jnp.max(used)
     return images
@@ -488,6 +483,8 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
     assert angles.shape[0] % n_dev == 0, \
         f"views ({angles.shape[0]}) must divide over {n_dev} devices"
     if view_batch > 1:
+        if backend != "pallas":
+            raise ValueError("view_batch requires backend='pallas'")
         assert (angles.shape[0] // n_dev) % view_batch == 0, \
             "view_batch must divide each device's view count"
     if backend == "pallas" and p_cap is None:

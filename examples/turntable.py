@@ -20,7 +20,7 @@ OBJECTS = os.environ.get("CRENDER_OBJECTS", "/root/reference/objects")
 OUT = os.path.join(os.path.dirname(__file__), "..", "output")
 
 
-def main(n_views: int = 64, size: int = 1024):
+def main(n_views: int = 64, size: int = 1024, view_batch: int = 1):
     model = Model.read_model(os.path.join(OBJECTS, "T-Rex.obj"))
     model.rotate([-90, 180, 0])
     model.shift(-model.get_mean_vertex())
@@ -32,16 +32,22 @@ def main(n_views: int = 64, size: int = 1024):
     tc = jnp.asarray(model.colors_by_triangles, jnp.float32)
     config = RenderConfig(height=size, width=size, fov=45)
 
-    p_cap = multiview.turntable_capacity(tv, tn, config)
+    # view_batch=V stacks V views into one kernel launch (bit-identical
+    # frames); size the capacity with the same V
+    p_cap = multiview.turntable_capacity(tv, tn, config,
+                                         view_batch=view_batch)
     angles = multiview.turntable_angles(n_views)
 
-    frames = multiview.render_turntable_pallas(tv, tn, tc, angles, config,
-                                               p_cap=p_cap)
+    def sweep():
+        return multiview.render_turntable_pallas(tv, tn, tc, angles, config,
+                                                 p_cap=p_cap,
+                                                 view_batch=view_batch)
+
+    frames = sweep()
     jax.block_until_ready(frames)
 
     t0 = time.perf_counter()
-    frames = multiview.render_turntable_pallas(tv, tn, tc, angles, config,
-                                               p_cap=p_cap)
+    frames = sweep()
     jax.block_until_ready(frames)
     dt = (time.perf_counter() - t0) * 1e3
     print(f"{n_views} views x {size}x{size}: {dt:.1f} ms "
@@ -59,4 +65,11 @@ def main(n_views: int = 64, size: int = 1024):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=64)
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--view-batch", type=int, default=1)
+    a = ap.parse_args()
+    main(a.views, a.size, a.view_batch)

@@ -314,3 +314,22 @@ def test_fast_shade_sweep():
     # batched fast mode: same Gouraud pipeline, stacked grid — the
     # per-frame result must still match exactly
     np.testing.assert_array_equal(got2, want)
+
+
+def test_view_batched_odd_image_sizes():
+    """Non-tile-aligned image sizes through the batched sweep: the stride
+    padding (nty → multiple of group) and per-view crop must hold."""
+    for h, w in [(72, 100), (100, 130)]:
+        cfg = RenderConfig(height=h, width=w, fov=45)
+        tv, tn, tc = tiny_scene(t=20, seed=5)
+        angles = multiview.turntable_angles(4)
+        p1 = multiview.sequence_capacity(tv, tn, angles, None, cfg)
+        want = np.asarray(multiview.render_turntable_pallas(
+            tv, tn, tc, angles, cfg, p_cap=p1, interpret=True))
+        assert want.shape == (4, h, w, 3)
+        p2 = multiview.sequence_capacity(tv, tn, angles, None, cfg,
+                                         view_batch=2)
+        got = np.asarray(multiview.render_turntable_pallas(
+            tv, tn, tc, angles, cfg, p_cap=p2, interpret=True,
+            view_batch=2))
+        np.testing.assert_array_equal(got, want)

@@ -98,7 +98,11 @@ def render_turntable(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     return jax.vmap(one)(angles)
 
 
-def _norm_light(light_direction) -> jnp.ndarray:
+def _norm_light(light_direction):
+    """Pre-negated unit light, or None → no illumination (colors pass
+    through unshaded — the sweeps' ``NoIllumination`` analogue)."""
+    if light_direction is None:
+        return None
     light = -jnp.asarray(light_direction, jnp.float32)
     return light / jnp.linalg.norm(light)
 
@@ -137,6 +141,9 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
     degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
     act = jnp.logical_and(~degenerate, ~backfacing)
     ts = project_to_screen(tri_verts, config)
+    if fast and light is None:
+        raise ValueError("fast_shade needs a light direction "
+                         "(it bakes Lambert per vertex)")
     if fast:
         # opt-in Gouraud fast mode (render_frame's "fast_lambert_u8"
         # analogue): Lambert baked into the per-vertex colors, 3 attr
@@ -151,7 +158,7 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
     (color, z, normal), _na, used = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
         th, tw, chunk, interpret, group, n_attrs=n_attrs)
-    if fast:    # colors are already per-vertex shaded (Gouraud)
+    if fast or light is None:   # pre-shaded (Gouraud) or NoIllumination
         return color, z, normal, used
     return lambert_shade(color, light=light, n_buffer=normal), z, normal, used
 
@@ -178,6 +185,9 @@ def _batched_view_spans(tri_verts, tri_norms, tri_colors, angles_b, shifts_b,
         act = jnp.logical_and(~degenerate, ~backfacing)
         ts = project_to_screen(pv, config)
         if fast:   # Gouraud: Lambert baked per-vertex with POSED normals
+            if light is None:
+                raise ValueError("fast_shade needs a light direction "
+                                 "(it bakes Lambert per vertex)")
             colors_v, normals_v = lambert_shade(tri_colors, pn, light), None
         else:
             colors_v, normals_v = tri_colors, pn
@@ -218,7 +228,7 @@ def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
         th, tw, chunk, interpret, group,
         n_attrs=3 if fast else binning.N_ATTRS, n_views=int(angles_b.shape[0]))
-    if fast:    # colors are already per-vertex shaded (Gouraud)
+    if fast or light is None:   # pre-shaded (Gouraud) or NoIllumination
         return color, z, normal, used
     return lambert_shade(color, light=light, n_buffer=normal), z, normal, used
 
@@ -307,6 +317,9 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     once per batch; pixels stay bit-identical to ``view_batch=1``. Size
     ``p_cap`` with the SAME ``view_batch`` (``turntable_capacity``) — a
     batch's slot demand is its views' combined demand.
+
+    ``light_direction=None`` skips illumination entirely (the
+    ``NoIllumination`` analogue — raw interpolated colors).
 
     ``fast_shade=True`` is the sweep analogue of the single-frame
     ``post="fast_lambert_u8"`` opt-in: Lambert bakes into the per-vertex

@@ -180,6 +180,59 @@ class Renderer:
                 self.color_buffer, self.z_buffer, self.n_buffer)
         self.illumination.draw_illumination(self.color_buffer, self.n_buffer)
 
+    def render_sequence(self, model: Model, angles, shifts=None,
+                        random_colors: bool = True, view_batch: int = 1,
+                        fast_shade: bool = False):
+        """Render a pose sequence as ONE device dispatch (TPU extra).
+
+        Convenience wrapper over ``parallel.multiview.render_sequence_pallas``
+        for Renderer users: sizes the bin capacity, derives the light from
+        this Renderer's illumination drawer, and returns display-ready
+        ``(N, H, W, 3)`` uint8 frames (rows in buffer order — flip with
+        ``[::-1]`` before ``cv2.imwrite``, as the reference demo does).
+        Frame i rotates the UN-rotated model by ``angles[i]`` (Euler XYZ
+        degrees) and translates by ``shifts[i]`` (default ``[0, 0, 1]``,
+        the reference demo's fit shift). ``view_batch``/``fast_shade`` as
+        in the multiview API. Requires an ``AdvancedPixelBufferFiller``;
+        the Renderer's own G-buffers are not touched.
+        """
+        from .ops.illumination import NoIllumination
+        from .parallel import multiview
+
+        filler = self.pixel_buffer_filler
+        if not isinstance(filler, AdvancedPixelBufferFiller):
+            raise TypeError("render_sequence needs AdvancedPixelBufferFiller")
+        if type(self.illumination) is NoIllumination:
+            light_direction = None
+        elif type(self.illumination) is GuroIllumination:
+            # multiview normalizes+negates internally; recover the raw
+            # direction from the drawer's pre-negated unit vector
+            light_direction = tuple(-np.asarray(
+                self.illumination.light_direction, np.float32))
+        else:
+            raise TypeError("render_sequence supports GuroIllumination / "
+                            "NoIllumination (custom drawers: render frames "
+                            "individually)")
+        tri_colors = model.colors_by_triangles
+        if tri_colors is None:
+            tri_colors = self._fallback_colors(model, random_colors)
+        tv = model.vertices_by_triangles
+        tn = model.normals_by_triangles
+        angles = jnp.asarray(angles, jnp.float32)
+        if shifts is not None:
+            shifts = jnp.asarray(shifts, jnp.float32)
+        config = filler.config
+        p_cap = multiview.sequence_capacity(tv, tn, angles, shifts, config,
+                                            view_batch=view_batch)
+        if shifts is None:
+            shifts = jnp.broadcast_to(jnp.float32([0.0, 0.0, 1.0]),
+                                      (angles.shape[0], 3))
+        return multiview.render_sequence_pallas(
+            tv, tn, jnp.asarray(tri_colors, jnp.float32), angles, shifts,
+            config, p_cap=p_cap, interpret=filler._interpret,
+            post="u8", view_batch=view_batch, fast_shade=fast_shade,
+            light_direction=light_direction)
+
     def reset_buffers(self) -> None:
         self.n_buffer.clear()
         self.z_buffer.clear()

@@ -333,3 +333,50 @@ def test_view_batched_odd_image_sizes():
             tv, tn, tc, angles, cfg, p_cap=p2, interpret=True,
             view_batch=2))
         np.testing.assert_array_equal(got, want)
+
+
+def test_renderer_render_sequence_wrapper():
+    """Renderer.render_sequence: the user-facing one-dispatch animation
+    wrapper must match the functional multiview API exactly, derive its
+    light from the illumination drawer, and support NoIllumination."""
+    from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+    from cython3dmodelrenderer_tpu.models.iterators import SimpleIterator
+    from cython3dmodelrenderer_tpu.ops.illumination import (GuroIllumination,
+                                                            NoIllumination)
+    from cython3dmodelrenderer_tpu.renderer import Renderer
+
+    tv, tn, tc = tiny_scene(t=20, seed=3)
+
+    class _M:
+        vertices_by_triangles = tv
+        normals_by_triangles = tn
+        colors_by_triangles = tc
+
+    angles = multiview.turntable_angles(3)
+
+    def make(illum):
+        return Renderer(
+            AdvancedPixelBufferFiller(64, 64, fov=45, backend="pallas",
+                                      interpret=True),
+            illum, SimpleIterator, image_height=64, image_width=64,
+            use_tqdm=False)
+
+    got = np.asarray(make(GuroIllumination([0.2, 0.1, 1.0]))
+                     .render_sequence(_M(), angles))
+    assert got.shape == (3, 64, 64, 3) and got.dtype == np.uint8
+
+    p_cap = multiview.sequence_capacity(tv, tn, angles, None, CONFIG)
+    shifts = jnp.broadcast_to(jnp.float32([0.0, 0.0, 1.0]), (3, 3))
+    want = np.asarray(multiview.render_sequence_pallas(
+        tv, tn, tc, angles, shifts, CONFIG, p_cap=p_cap, interpret=True,
+        post="u8", light_direction=(0.2, 0.1, 1.0)))
+    np.testing.assert_array_equal(got, want)
+
+    # NoIllumination → unshaded colors (brighter than any lit render)
+    raw = np.asarray(make(NoIllumination()).render_sequence(_M(), angles))
+    want_raw = np.asarray(multiview.render_sequence_pallas(
+        tv, tn, tc, angles, shifts, CONFIG, p_cap=p_cap, interpret=True,
+        post="u8", light_direction=None))
+    np.testing.assert_array_equal(raw, want_raw)
+    lit = want_raw.sum(-1) > 0
+    assert (raw[lit].astype(int) >= got[lit].astype(int)).mean() > 0.99

@@ -380,3 +380,25 @@ def test_renderer_render_sequence_wrapper():
     np.testing.assert_array_equal(raw, want_raw)
     lit = want_raw.sum(-1) > 0
     assert (raw[lit].astype(int) >= got[lit].astype(int)).mean() > 0.99
+
+
+def test_view_batched_over_budget_degrades():
+    """A stacked workload past the packed binner's budgets (image wider
+    than 63 tiles) must size AND render through the un-grouped fallback
+    consistently, matching the per-view sweep."""
+    cfg = RenderConfig(height=32, width=32 * 70, fov=60)
+    rng = np.random.RandomState(2)
+    t = 12
+    tv = jnp.asarray((rng.rand(t, 3, 3) * 0.4 - 0.2).astype(np.float32)
+                     + np.float32([0, 0, 1.0]))
+    tn = jnp.asarray(np.tile(np.float32([0, 0, -1]), (t, 3, 1)))
+    tc = jnp.asarray(rng.rand(t, 3, 3).astype(np.float32) * 255)
+    angles = multiview.turntable_angles(2)
+    p1 = multiview.sequence_capacity(tv, tn, angles, None, cfg)
+    want = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, cfg, p_cap=p1, interpret=True))
+    p2 = multiview.sequence_capacity(tv, tn, angles, None, cfg,
+                                     view_batch=2)
+    got = np.asarray(multiview.render_turntable_pallas(
+        tv, tn, tc, angles, cfg, p_cap=p2, interpret=True, view_batch=2))
+    np.testing.assert_array_equal(got, want)

@@ -29,13 +29,13 @@ timeout 900 python bench.py --view-batch 4 2>&1 | tail -2
 timeout 900 python bench.py --view-batch 4 --fast-sweep 2>&1 | tail -2
 
 echo "=== 5. stage chain (per-stage split) ==="
-[ -f /tmp/stage_chain3.py ] && timeout 600 python /tmp/stage_chain3.py 2>&1 | tail -25
+timeout 600 python tools/probes/stage_chain3.py 2>&1 | tail -25
 
 echo "=== 6. VPU calibration (roofline) ==="
-[ -f /tmp/vpu_cal.py ] && timeout 600 python /tmp/vpu_cal.py 2>&1 | tail -15
+timeout 600 python tools/probes/vpu_cal.py 2>&1 | tail -15
 
 echo "=== 7. sweep decomposition (turntable per-view gap) ==="
-[ -f /tmp/sweep_decomp.py ] && timeout 900 python /tmp/sweep_decomp.py 2>&1 | tail -25
+timeout 900 python tools/probes/sweep_decomp.py 2>&1 | tail -25
 
 echo "=== battery done $(date) ==="
 } 2>&1 | tee -a "$LOG"

@@ -37,5 +37,8 @@ timeout 600 python tools/probes/vpu_cal.py 2>&1 | tail -15
 echo "=== 7. sweep decomposition (turntable per-view gap) ==="
 timeout 900 python tools/probes/sweep_decomp.py 2>&1 | tail -25
 
+echo "=== 8. dispatch overlap (the ~0.55 ms bench-vs-chained gap) ==="
+timeout 900 python tools/probes/dispatch_overlap.py 2>&1 | tail -6
+
 echo "=== battery done $(date) ==="
 } 2>&1 | tee -a "$LOG"

@@ -524,6 +524,15 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
             total_slots, n_active)
 
 
+# The scalar placement kernels store through SMEM output windows (scalar
+# stores cannot target VMEM), and SMEM is ~1 MB: the (p_cap//128, 128) i32
+# order buffer costs p_cap * 4 bytes, so 2^17 slots (512 KB) is the largest
+# capacity that reliably fits alongside the cursor scratch. Callers must
+# route bigger workloads to the pure-XLA ``binning.bin_pairs`` (slower —
+# bitonic sort — but unbounded); ``raster_pallas._stage_b`` does.
+SMEM_PLACEMENT_SLOT_LIMIT = 1 << 17
+
+
 @functools.partial(jax.jit, static_argnames=("ntx", "nty", "p_cap"))
 def bin_sort(tx0, cx, ty0, cy, ntx: int, nty: int, p_cap: int):
     """Counting-sort triangles into tile bins.
@@ -536,6 +545,8 @@ def bin_sort(tx0, cx, ty0, cy, ntx: int, nty: int, p_cap: int):
     n_tiles = ntx * nty
     assert p_cap % 128 == 0 and n_tiles % 128 == 0, \
         "p_cap and n_tiles must be multiples of 128"
+    assert p_cap <= SMEM_PLACEMENT_SLOT_LIMIT, \
+        "order buffer would overflow SMEM — use binning.bin_pairs"
 
     # Histogram on the MXU: tile (y, x) count = Σ_t my[t, y]·mx[t, x].
     xs = jnp.arange(ntx, dtype=jnp.int32)[None, :]

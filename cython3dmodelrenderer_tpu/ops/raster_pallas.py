@@ -287,7 +287,8 @@ def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
 def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                          group: int, z_init: float,
                          n_attrs: int = binning.N_ATTRS,
-                         sign_cover: bool = False, tiles_per_view: int = 0):
+                         sign_cover: bool = False, tiles_per_view: int = 0,
+                         nbuf: int = 2):
     """Grouped kernel: one grid step = ``group`` COUNT-SORTED tiles.
 
     Chunks interleave the tiles as ``sub``-lane stripes (see
@@ -439,8 +440,8 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             # per frame) and only the non-zero rows move (~73% less traffic)
             return pltpu.make_async_copy(
                 binned_ref.at[c],
-                buf.at[c % 2],
-                sems.at[c % 2],
+                buf.at[c % nbuf],
+                sems.at[c % nbuf],
             )
 
         def body(j, _):
@@ -451,14 +452,18 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             def _():
                 get_dma(c).start()
 
-            # prefetch the next global chunk (possibly the next group's)
-            @pl.when(c + 1 < total_chunks)
-            def _():
-                get_dma(c + 1).start()
+            # keep the DMA stream nbuf-1 chunks ahead (possibly into the
+            # next group's bins — chunks are globally contiguous); the pref
+            # cursor guard means each chunk is issued exactly once
+            for k in range(1, nbuf):
+                @pl.when((pref[0] < c + k) & (c + k < total_chunks))
+                def _(k=k):
+                    get_dma(c + k).start()
 
-            pref[0] = jnp.where(c + 1 < total_chunks, c + 1, c)
+            pref[0] = jnp.maximum(
+                pref[0], jnp.minimum(c + nbuf - 1, total_chunks - 1))
             get_dma(c).wait()
-            d = buf[c % 2]                              # (ROWS_USED, K)
+            d = buf[c % nbuf]                           # (ROWS_USED, K)
 
             def row(r):
                 return d[r:r + 1, :].reshape(1, 1, chunk)
@@ -549,7 +554,8 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
                           z_init: float, interpret: bool,
                           n_attrs: int = binning.N_ATTRS,
                           sign_cover: bool = False,
-                          tiles_per_view: int = 0):
+                          tiles_per_view: int = 0,
+                          nbuf: int = 2):
     n_tiles = ntx * nty
     n_sorted = -(-n_tiles // group) * group
     n_groups = n_sorted // group
@@ -557,7 +563,7 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
     rows_used = _rows_used(n_attrs)
     out_h, out_w = nty * tile_h, ntx * n_out * tile_w
     kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init,
-                                  n_attrs, sign_cover, tiles_per_view)
+                                  n_attrs, sign_cover, tiles_per_view, nbuf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_groups,),
@@ -566,11 +572,11 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
         # full image-ordered G-buffer in HBM; tiles land via manual DMA
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, rows_used, chunk), jnp.float32),
+            pltpu.VMEM((nbuf, rows_used, chunk), jnp.float32),
             pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
             pltpu.VMEM((n_attrs, tile_h, tile_w, chunk), jnp.float32),
             pltpu.VMEM((2, group, tile_h, n_out * tile_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((2, group)),
             pltpu.SMEM((1,), jnp.int32),
         ],
@@ -751,7 +757,15 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             tiles_per_view=ntx * nty_g1 if n_views > 1 else 0)
         cap_used = total_slots
     else:
-        if interpret or n_tiles % 128 != 0 or p_cap % 128 != 0:
+        from .binsort_pallas import SMEM_PLACEMENT_SLOT_LIMIT
+
+        # bin_pairs (pure XLA, bitonic sort) whenever the Pallas placement
+        # kernel can't run: interpret mode, unaligned shapes, or a capacity
+        # past its SMEM output budget — the un-grouped path IS the degrade
+        # target for >2^17-slot workloads, so it must never hit bin_sort's
+        # own SMEM wall (a measured compile failure at 458k slots).
+        if (interpret or n_tiles % 128 != 0 or p_cap % 128 != 0
+                or p_cap > SMEM_PLACEMENT_SLOT_LIMIT):
             binned, tile_starts, tile_counts = binning.bin_pairs(
                 rows, tx0, cx, ty0, cy, counts, p_cap, ntx, nty, chunk)
             n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))

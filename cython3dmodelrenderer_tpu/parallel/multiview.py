@@ -541,8 +541,11 @@ def triangle_shard_capacity(tri_verts, tri_norms, config: RenderConfig,
     """
     from ..ops import binning, raster_pallas
 
+    # check_vma=False: grouped_slot_total's histogram includes a Pallas
+    # bitonic sort, and pallas_call out_shapes carry no vma annotation —
+    # same reasoning as the render shard_maps below
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
-             out_specs=P())
+             out_specs=P(), check_vma=False)
     def totals(tv, tn):
         degenerate, backfacing = visibility_masks(tv, tn)
         act = jnp.logical_and(~degenerate, ~backfacing)

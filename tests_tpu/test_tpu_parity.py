@@ -228,6 +228,40 @@ def test_ungrouped_fallback_parity_on_device(objects_dir):
     np.testing.assert_array_equal(c1, c4)
 
 
+def test_oversized_capacity_degrade_on_device(objects_dir):
+    """A capacity past the packed grouped binner's 2^17-slot budget must
+    still COMPILE and render on real hardware: it degrades to the
+    un-grouped path, which in turn must route around the SMEM placement
+    kernel (whose (p_cap//128, 128) order buffer overflows the ~1 MB SMEM —
+    a measured compile failure at 458k slots) to the pure-XLA
+    ``binning.bin_pairs``. Output must match the normal grouped render
+    bit-for-bit (capacity padding never changes pixels)."""
+    from cython3dmodelrenderer_tpu.config import RenderConfig
+    from cython3dmodelrenderer_tpu.ops import raster_pallas
+
+    path = os.path.join(objects_dir, "cube.obj")
+    if not os.path.exists(path):
+        pytest.skip("cube unavailable")
+    model = _load(path, False)
+    t = model.n_triangles()
+    rng = np.random.RandomState(0)
+    per_tri = rng.randint(256, size=(t, 3)).astype(np.float32)
+    tc = jnp.asarray(np.repeat(per_tri[:, None, :], 3, axis=1))
+    config = RenderConfig(height=256, width=256, fov=90)
+
+    def render(p_cap):
+        (color, z, _n), _used, _act = raster_pallas.render_frame(
+            model.vertices_by_triangles, model.normals_by_triangles, tc,
+            config, p_cap=p_cap, grid_cap=0, group=raster_pallas.GROUP)
+        return np.asarray(color), np.asarray(z)
+
+    want_c, want_z = render(4096)          # normal grouped path
+    big_cap = (1 << 18)   # past SMEM_PLACEMENT_SLOT_LIMIT and 2^17 slots
+    got_c, got_z = render(big_cap)
+    np.testing.assert_array_equal(got_z, want_z)
+    np.testing.assert_array_equal(got_c, want_c)
+
+
 def test_sign_cover_on_device(objects_dir):
     """Opt-in sign-bit coverage fold through Mosaic on real hardware:
     ``lax.bitcast_convert_type`` + integer OR must compile in the grouped

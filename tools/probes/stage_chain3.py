@@ -1,9 +1,13 @@
-"""Chained in-jit stage timing, DCE-proof.
+"""Chained in-jit stage timing, DCE-proof AND CSE-proof.
 
-Each iteration perturbs the stage input with the loop counter (defeats CSE)
-and consumes the output via sum()*1e-30 added to the carry (defeats
-constant-fold + DCE — the old `*0` consumption let XLA delete whole XLA-level
-stages, reporting calibration-only times). Per-stage cost = timed - calib.
+Each iteration perturbs the stage input with the RUNTIME CARRY ``x`` (the
+loop counter ``i`` is a trace-time constant: ``tv + i*1e-30`` folds back to
+``tv`` exactly in f32, CSE then merges all NITER iterations into ONE — a
+measured failure mode that reported a 0.11 ms "full frame") and consumes
+the output via sum()*1e-30 added to the carry (defeats constant-fold + DCE).
+Integer stage inputs perturb via ``zi(x)`` — a runtime-zero the compiler
+cannot fold. The x-dependence also SERIALIZES iterations (independent
+iterations would be free to CSE or reorder). Per-stage cost = timed - calib.
 Usage: python stage_chain3.py [group]
 """
 import time, sys
@@ -76,13 +80,18 @@ def chain(stage):
     return run
 
 
+def zi(x):
+    """Runtime-zero int32 derived from the carry — un-foldable, serializing."""
+    return (x * EPS > 1.0).astype(jnp.int32)
+
+
 calib = timeit("calibration (empty chain)",
                chain(lambda x, i: x + i.astype(jnp.float32) * EPS))
 
 
 def s_bin(x, i):
     out = binsort_pallas.bin_gather_grouped(
-        rows[:, :ru], (tx0 + i) % ntx, cx, ty0, cy, ntx=ntx, nty=nty_g,
+        rows[:, :ru], tx0 + zi(x), cx, ty0, cy, ntx=ntx, nty=nty_g,
         slot_cap=p_cap, group=group, sub=sub)
     return x + jnp.sum(out[0][:, 0]) * EPS
 
@@ -91,7 +100,7 @@ timeit("bin_gather_grouped (full binning)", chain(s_bin), calib)
 
 def s_histogram(x, i):
     tcnt, st, ss, gc = binsort_pallas.group_histogram(
-        (tx0 + i) % ntx, cx, ty0, cy, ntx, nty_g, group, sub)
+        tx0 + zi(x), cx, ty0, cy, ntx, nty_g, group, sub)
     return x + jnp.sum(gc).astype(jnp.float32) * EPS
 
 timeit("  histogram (matmul+group tables)", chain(s_histogram), calib)
@@ -100,15 +109,34 @@ keys0 = jnp.arange(p_cap, dtype=jnp.int32)[::-1]
 
 
 def s_sort(x, i):
-    s = bitonic_sort_i32((keys0 + i) & 0x7fffffff)
+    s = bitonic_sort_i32((keys0 + zi(x)) & 0x7fffffff)
     return x + jnp.sum(s[:8]).astype(jnp.float32) * EPS
 
 timeit("  bitonic sort alone", chain(s_sort), calib)
 
 
+def s_expand(x, i):
+    tri_p, tile_p, n_pairs = binsort_pallas._expand_pairs(
+        tx0 + zi(x), cx, ty0, cy, ntx, p_cap)
+    return x + (jnp.sum(tri_p[:8] + tile_p[:8]) + n_pairs
+                ).astype(jnp.float32) * EPS
+
+timeit("  pair expansion (2 scatter-ffills)", chain(s_expand), calib)
+
+
+def s_scatter(x, i):
+    # ONE 1-D scatter+cummax fill-forward, isolated (the expansion has two)
+    z = jnp.zeros((p_cap,), jnp.int32)
+    v = jax.lax.cummax(z.at[(tx0 + zi(x)) % p_cap].set(
+        jnp.arange(tx0.shape[0], dtype=jnp.int32), mode="drop"))
+    return x + jnp.sum(v[:8]).astype(jnp.float32) * EPS
+
+timeit("  one scatter+cummax ffill", chain(s_scatter), calib)
+
+
 def s_rowgather(x, i):
     # the two row gathers of the binning path, isolated
-    g = rows[:, :ru][(jnp.arange(p_cap) + i) % rows.shape[0]]
+    g = rows[:, :ru][(jnp.arange(p_cap) + zi(x)) % rows.shape[0]]
     return x + jnp.sum(g[:, 0]) * EPS
 
 timeit("  one (p_cap, 35) row gather", chain(s_rowgather), calib)
@@ -116,7 +144,7 @@ timeit("  one (p_cap, 35) row gather", chain(s_rowgather), calib)
 
 def s_raster(x, i):
     chans = raster_pallas._raster_tiles_grouped(
-        binned + x * EPS, gstarts, gchunks, stids, sstripes, p_cap, ntx,
+        binned + x * EPS, gstarts, gchunks, stids, sstripes, ntx,
         nty_g, th, tw, chunk, group, config.z_init, False)
     return x + chans[3][0, 0] * EPS
 
@@ -125,7 +153,7 @@ timeit("raster grouped (kernel + unpack)", chain(s_raster), calib)
 
 def s_planes(x, i):
     r2 = raster_pallas._plane_stage(
-        ts + i.astype(jnp.float32) * EPS, tc, tn, act, config, th, tw)
+        ts + x * EPS, tc, tn, act, config, th, tw)
     return x + jnp.sum(r2[0][:, 0]) * EPS
 
 timeit("plane stage", chain(s_planes), calib)
@@ -133,8 +161,19 @@ timeit("plane stage", chain(s_planes), calib)
 
 def s_frame(x, i):
     out = raster_pallas.render_frame(
-        tv + i.astype(jnp.float32) * EPS, tn, tc, config,
+        tv + x * EPS, tn, tc, config,
         p_cap=p_cap, grid_cap=ntx * nty, group=group, post="u8")
     return x + out[3][0, 0, 0].astype(jnp.float32) * EPS
 
 timeit("FULL frame (render_frame, post=u8)", chain(s_frame), calib)
+
+
+def s_frame_raw(x, i):
+    # post="none": subtracting from the post=u8 frame isolates the fused
+    # shade/quantize epilogue + its extra output materialization
+    out = raster_pallas.render_frame(
+        tv + x * EPS, tn, tc, config,
+        p_cap=p_cap, grid_cap=ntx * nty, group=group, post="none")
+    return x + out[0][0][0, 0, 0] * EPS
+
+timeit("FULL frame (post=none)", chain(s_frame_raw), calib)

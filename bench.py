@@ -91,8 +91,10 @@ def _bench_single(model, size, fov, illum, metric, vs_baseline=None,
     light = shader.light_direction if illum else None
 
     def frame():
-        # shade+quantize fused into the frame's single dispatch
-        filler._rasterize(tv, tn, tc, post=post, light=light)
+        # shade+quantize fused into the frame's single dispatch; G-buffers
+        # stay packed (the frame's deliverable is the shaded image — planar
+        # stacks derive lazily if someone reads them)
+        filler.render_arrays(tv, tn, tc, post=post, light=light)
         return filler._post_image
 
     first = frame()

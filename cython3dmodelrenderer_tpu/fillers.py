@@ -182,6 +182,14 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._color = jnp.zeros((h, w, 3), jnp.float32)
         self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)
         self._normals = jnp.zeros((h, w, 3), jnp.float32)
+        # Packed-frame state: the Pallas path dispatches with
+        # ``packed_out=True`` — the kernel's packed stripe buffer is the
+        # G-buffer of record and the planar stacks above derive from it
+        # LAZILY on first getter access (bit-exact; skipping the eager
+        # unpack saves ~28 MB of planar materialization per frame on the
+        # hot shaded-image path).
+        self._packed = None
+        self._packed_attrs = 6
         # Cached static pair-capacity bucket for the Pallas binner: lets
         # steady-state frames run with zero host syncs (overflow → retry).
         self._p_cap: Optional[int] = None
@@ -257,12 +265,30 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             tri_norms = tri_norms[order]
             tri_colors = tri_colors[order]
 
-        color, z, normals = self._rasterize(tri_verts, tri_norms, tri_colors,
-                                            post=post, light=light)
-        self._color, self._z, self._normals = color, z, normals
+        self.render_arrays(tri_verts, tri_norms, tri_colors,
+                           post=post, light=light)
 
     def _rasterize(self, tri_verts, tri_norms, tri_colors,
                    post: str = "none", light=None):
+        """Dispatch one frame AND materialize its planar G-buffers.
+
+        Compatibility wrapper over ``render_arrays`` — the hot path
+        (``render_arrays`` + ``get_post_image``) leaves G-buffers packed
+        and lazy."""
+        self.render_arrays(tri_verts, tri_norms, tri_colors,
+                           post=post, light=light)
+        self._materialize()
+        return self._color, self._z, self._normals
+
+    def render_arrays(self, tri_verts, tri_norms, tri_colors,
+                      post: str = "none", light=None) -> None:
+        """Dispatch one frame from raw (T, 3, 3) triangle arrays.
+
+        The HOT path: stores the frame's packed G-buffer (Pallas backend)
+        and fused ``post`` image; planar G-buffers derive lazily on getter
+        access. Returns nothing — read ``get_post_image()`` /
+        ``snapshot_buffers()`` / the getters.
+        """
         # Pick up overflow reports from the reader thread (a lock + int
         # compare — no device traffic). Growth alone suffices here: the
         # frame about to be dispatched replaces the G-buffers anyway.
@@ -281,9 +307,11 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             h, w = self.get_size()
             if post != "none":
                 self._post_image = jnp.zeros((h, w, 3), jnp.uint8)
-            return (jnp.zeros((h, w, 3), jnp.float32),
-                    jnp.full((h, w, 1), self.config.z_init, jnp.float32),
-                    jnp.zeros((h, w, 3), jnp.float32))
+            self._set_gbuffers(
+                (jnp.zeros((h, w, 3), jnp.float32),
+                 jnp.full((h, w, 1), self.config.z_init, jnp.float32),
+                 jnp.zeros((h, w, 3), jnp.float32)))
+            return
         backend = self._resolve_backend()
         if backend == "pallas":
             from .ops import binning, raster_pallas
@@ -302,9 +330,9 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
                     tris_screen, active, self.config, group=self._group)
                 self._p_cap = binning.capacity_bucket(int(total) * 5 // 4, 128)
                 self._sized_for = tri_verts.shape[0]
-            out = self._dispatch_pallas(tri_verts, tri_norms, tri_colors)
+            self._dispatch_pallas(tri_verts, tri_norms, tri_colors)
             self._track_pending(tri_verts, tri_norms, tri_colors)
-            return out
+            return
         tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
         bbox = raster_ref.required_bbox_size(tris_screen, active, self.config)
         # fragment memory scales as chunk x bbox^2 — shrink the chunk for
@@ -331,7 +359,26 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
             self._post_image = (lambert_to_u8(out[0], out[2], light)
                                 if post == "lambert_u8" else cast_u8(out[0]))
-        return out
+        self._set_gbuffers(out)
+
+    def _set_gbuffers(self, out) -> None:
+        """Store eager planar G-buffers (jnp backend / empty scene)."""
+        self._color, self._z, self._normals = out
+        self._packed = None
+
+    def _materialize(self) -> None:
+        """Derive the planar G-buffers from the packed frame, once.
+
+        Bit-exact: ``unpack_gbuffers`` is the same unpack the eager path
+        fused into its dispatch; the packed buffer IS the G-buffer data.
+        """
+        if self._packed is None:
+            return
+        from .ops import raster_pallas
+
+        self._color, self._z, self._normals = raster_pallas.unpack_gbuffers(
+            self._packed, self.config, n_attrs=self._packed_attrs)
+        self._packed = None
 
     def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors):
         from .ops import raster_pallas
@@ -341,12 +388,15 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             tri_verts, tri_norms, tri_colors, self.config,
             self._p_cap, 0, group=self._group,
             interpret=self._interpret, post=post, light=light,
-            sign_cover=self.sign_cover)
+            sign_cover=self.sign_cover, packed_out=True)
         if post == "none":
-            out, self._last_total, self._last_active = res
+            packed, self._last_total, self._last_active = res
         else:
-            out, self._last_total, self._last_active, self._post_image = res
-        return out
+            (packed, self._last_total, self._last_active,
+             self._post_image) = res
+        self._packed = packed
+        self._packed_attrs = 3 if post == "fast_lambert_u8" else 6
+        self._color = self._z = self._normals = None
 
     def get_post_image(self) -> Optional[jnp.ndarray]:
         """The fused final image of the last frame (uint8), or None when the
@@ -413,8 +463,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             # Re-render the newest frame (older frames are superseded); its
             # own demand re-queues for the next drain.
             tv, tn, tc, _cap = self._latest
-            self._color, self._z, self._normals = \
-                self._dispatch_pallas(tv, tn, tc)
+            self._dispatch_pallas(tv, tn, tc)
             self._track_pending(tv, tn, tc)
         return True
 
@@ -499,26 +548,31 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             self.validate_capacity()
         else:
             self._settle_pending()
+        self._materialize()
         return self._color, self._z, self._normals, self._post_image
 
     def get_color_buffer(self) -> jnp.ndarray:
         self._settle_pending()
+        self._materialize()
         return self._color
 
     def get_normals_buffer(self) -> jnp.ndarray:
         self._settle_pending()
+        self._materialize()
         return self._normals
 
     def get_z_buffer(self) -> jnp.ndarray:
         self._settle_pending()
+        self._materialize()
         return self._z
 
     def reset_buffers(self) -> None:
         self._invalidate_pending()
         h, w = self.get_size()
-        self._color = jnp.zeros((h, w, 3), jnp.float32)
-        self._z = jnp.full((h, w, 1), self.config.z_init, jnp.float32)
-        self._normals = jnp.zeros((h, w, 3), jnp.float32)
+        self._set_gbuffers(
+            (jnp.zeros((h, w, 3), jnp.float32),
+             jnp.full((h, w, 1), self.config.z_init, jnp.float32),
+             jnp.zeros((h, w, 3), jnp.float32)))
 
     # ------------------------------------------------------------------
     # per-triangle compat path (py reference semantics)

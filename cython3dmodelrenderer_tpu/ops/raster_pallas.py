@@ -288,7 +288,8 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                          group: int, z_init: float,
                          n_attrs: int = binning.N_ATTRS,
                          sign_cover: bool = False, tiles_per_view: int = 0,
-                         nbuf: int = 2):
+                         nbuf: int = 2,
+                         probe_reps: Tuple[int, int] = (1, 1)):
     """Grouped kernel: one grid step = ``group`` COUNT-SORTED tiles.
 
     Chunks interleave the tiles as ``sub``-lane stripes (see
@@ -324,6 +325,16 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
     predecessor of the lane-block layout needed an explicit rank channel:
     a third VMEM accumulator plus a select per chunk and a third epilogue
     reduction per stripe.)
+
+    ``probe_reps=(body_reps, epi_reps)`` is the IN-SITU SLOPE PROBE
+    (tools/probes/raster_slope.py): replicate the chunk-body arithmetic /
+    the per-stripe epilogue block R times inside this very kernel — same
+    layouts, same compiler — and fit ms vs R to split ALU cost from fixed
+    overhead (PERF_NOTES roadmap 1). Replicas perturb their input by
+    ``rep * 1e-30`` (folds to identity at runtime in f32, so every rep
+    computes the production values — the kernel stays bit-exact — while
+    the rep-dependence defeats loop-invariant hoisting). ``(1, 1)`` (the
+    default, the production path) generates exactly the unreplicated code.
     """
     sub = chunk // group
     gh = group * tile_h
@@ -468,38 +479,54 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             def row(r):
                 return d[r:r + 1, :].reshape(1, 1, chunk)
 
-            def plane(r):
-                # y-term grouped first: stays (TH, 1, K) until the single
-                # full-width FMA (same association as the un-grouped
-                # kernel — the two must stay bit-identical)
-                return pxf * row(r) + (pyf * row(r + 1) + row(r + 2))
+            def alu(bias):
+                # the chunk-body ALU block — the slope probe replicates
+                # exactly this, perturbing each plane's constant term by
+                # ``bias`` (None in production → unchanged code)
+                def plane(r):
+                    # y-term grouped first: stays (TH, 1, K) until the
+                    # single full-width FMA (same association as the
+                    # un-grouped kernel — the two must stay bit-identical)
+                    t = row(r + 2) if bias is None else row(r + 2) + bias
+                    return pxf * row(r) + (pyf * row(r + 1) + t)
 
-            l0 = plane(0)
-            l1 = plane(3)
-            l2 = plane(6)
-            z = plane(9)
+                l0 = plane(0)
+                l1 = plane(3)
+                l2 = plane(6)
+                z = plane(9)
 
-            # (a single min-tree fold of all nine conditions via
-            # jnp.minimum was tried here and measured ~2% SLOWER —
-            # NaN-propagating minimum lowers to compare+select pairs,
-            # costlier than plain compare+and; the sign-bit OR fold is the
-            # cheap version of the same idea, opt-in because -0.0 edge
-            # evals flip)
-            good = _good_mask(l0, l1, l2, z, pxf, pyg, row(12), row(13),
-                              row(14), row(15), sign_cover)
-            zc = jnp.where(good, z, jnp.inf)
+                # (a single min-tree fold of all nine conditions via
+                # jnp.minimum was tried here and measured ~2% SLOWER —
+                # NaN-propagating minimum lowers to compare+select pairs,
+                # costlier than plain compare+and; the sign-bit OR fold is
+                # the cheap version of the same idea, opt-in because -0.0
+                # edge evals flip)
+                good = _good_mask(l0, l1, l2, z, pxf, pyg, row(12), row(13),
+                                  row(14), row(15), sign_cover)
+                zc = jnp.where(good, z, jnp.inf)
 
-            # Lane-local running argmin: strict < keeps the EARLIEST rank
-            # per lane across chunks (a lane's rank grows with j under the
-            # lane-block layout). No cross-lane ops in the chunk loop — the
-            # segmented reduction happens once in the epilogue. NaN guard:
-            # loser lanes may hold NaN attr planes but their zc is +inf, so
-            # they never become `better`.
-            better = zc < zacc[:]                        # (TH, TW, K)
-            for ch in range(n_attrs):
-                attracc[ch] = jnp.where(better, plane(_ATTR0 + 3 * ch),
-                                        attracc[ch])
-            zacc[:] = jnp.where(better, zc, zacc[:])
+                # Lane-local running argmin: strict < keeps the EARLIEST
+                # rank per lane across chunks (a lane's rank grows with j
+                # under the lane-block layout). No cross-lane ops in the
+                # chunk loop — the segmented reduction happens once in the
+                # epilogue. NaN guard: loser lanes may hold NaN attr planes
+                # but their zc is +inf, so they never become `better`.
+                better = zc < zacc[:]                    # (TH, TW, K)
+                for ch in range(n_attrs):
+                    attracc[ch] = jnp.where(better, plane(_ATTR0 + 3 * ch),
+                                            attracc[ch])
+                zacc[:] = jnp.where(better, zc, zacc[:])
+
+            if probe_reps[0] == 1:
+                alu(None)
+            else:
+                def rep_body(rep, _):
+                    # rep-dependent bias defeats hoisting; ·1e-30 folds to
+                    # identity at runtime, so every rep computes the
+                    # production values against the live accumulators
+                    alu(rep.astype(jnp.float32) * jnp.float32(1e-30))
+                    return 0
+                jax.lax.fori_loop(0, probe_reps[0], rep_body, 0)
             return 0
 
         jax.lax.fori_loop(0, nchunks, body, 0)
@@ -520,11 +547,15 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
 
         afin = attracc[:]                                # (n_attrs, TH, TW, K)
 
-        def tile_block(s):
+        def tile_block(s, bias=None):
+            # ``bias`` is the slope probe's perturbation (None in
+            # production): rep-dependent but runtime-identity, so every
+            # replica recomputes this whole block from live values
+            zf = zfin if bias is None else zfin + bias
             inseg = seg == s
-            zt = jnp.min(jnp.where(inseg, zfin, jnp.inf), axis=2)
+            zt = jnp.min(jnp.where(inseg, zf, jnp.inf), axis=2)
             zt_out = jnp.where(jnp.isinf(zt), jnp.float32(z_init), zt)
-            cand = inseg & (zfin == zt[..., None])
+            cand = inseg & (zf == zt[..., None])
             lmin = jnp.min(jnp.where(cand, lanef, jnp.inf), axis=2)
             win = cand & (lanef == lmin[..., None])      # one-hot per pixel
             has = ~jnp.isinf(zt)
@@ -542,7 +573,14 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         for s in range(group):
             @pl.when(sstripes_ref[group * i + s] > 0)
             def _(s=s):
-                obuf[i % 2, s] = tile_block(s)
+                if probe_reps[1] == 1:
+                    obuf[i % 2, s] = tile_block(s)
+                else:
+                    def rep_body(rep, _):
+                        obuf[i % 2, s] = tile_block(
+                            s, rep.astype(jnp.float32) * jnp.float32(1e-30))
+                        return 0
+                    jax.lax.fori_loop(0, probe_reps[1], rep_body, 0)
                 out_dma(i, s).start()
 
     return kernel
@@ -555,7 +593,8 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
                           n_attrs: int = binning.N_ATTRS,
                           sign_cover: bool = False,
                           tiles_per_view: int = 0,
-                          nbuf: int = 2):
+                          nbuf: int = 2,
+                          probe_reps: Tuple[int, int] = (1, 1)):
     n_tiles = ntx * nty
     n_sorted = -(-n_tiles // group) * group
     n_groups = n_sorted // group
@@ -563,7 +602,8 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
     rows_used = _rows_used(n_attrs)
     out_h, out_w = nty * tile_h, ntx * n_out * tile_w
     kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init,
-                                  n_attrs, sign_cover, tiles_per_view, nbuf)
+                                  n_attrs, sign_cover, tiles_per_view, nbuf,
+                                  probe_reps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_groups,),
@@ -594,7 +634,7 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
     bg = jnp.broadcast_to(
         jnp.where((col // tile_w) % n_out == 3, jnp.float32(z_init), 0.0),
         (out_h, out_w))
-    packed = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
         grid_spec=grid_spec,
@@ -604,11 +644,6 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(gstarts, gchunks, stids, sstripes, binned_t, bg)
-    # channel unpack: tile (ty, tx)'s stripes sit at their image position
-    s = packed.reshape(nty * tile_h, ntx, n_out, tile_w)
-    chans = [s[:, :, c, :].reshape(nty * tile_h, ntx * tile_w)
-             for c in range(min(n_out, 7))]
-    return tuple(chans)
 
 
 def _raster_tiles(binned, tile_starts, tile_counts,
@@ -644,7 +679,7 @@ def _raster_tiles(binned, tile_starts, tile_counts,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    packed = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (nty * tile_h, ntx * n_out * tile_w), jnp.float32),
@@ -660,11 +695,6 @@ def _raster_tiles(binned, tile_starts, tile_counts,
             transcendentals=0,
         ),
     )(tile_starts, tile_counts, binned)
-    # unpack stripes: (H_pad, ntx, n_out, tile_w) → channel c at [:, :, c, :]
-    s = packed.reshape(nty * tile_h, ntx, n_out, tile_w)
-    chans = [s[:, :, c, :].reshape(nty * tile_h, ntx * tile_w)
-             for c in range(min(n_out, 7))]
-    return tuple(chans)  # (cb, cg, cr, z[, nx, ny, nz]) planar images
 
 
 @functools.partial(jax.jit, static_argnames=("config", "tile_h", "tile_w"))
@@ -685,17 +715,97 @@ def _plane_stage(tris_screen, colors, normals, active,
     return rows, tx0, cx, ty0, cy, counts, total
 
 
+def unpack_channels(packed, tile_h: int, tile_w: int, n_attrs: int):
+    """Planar channel images from a packed stripe G-buffer.
+
+    ``packed`` is the raster kernels' output: tile (ty, tx) owns the
+    (tile_h, n_out*tile_w) block at its image position, holding the
+    channels [B G R z nx ny nz pad] (exact) or [B G R z] (fast-shade) as
+    ``tile_w``-wide lane-stripes. Pure layout ops — under jit XLA fuses
+    them into whatever consumes the channels, so deriving only the final
+    shaded image from ``packed`` never materializes the planar stacks.
+    """
+    n_out = _out_stripes(n_attrs)
+    h_pad = packed.shape[0]
+    ntx = packed.shape[1] // (n_out * tile_w)
+    s = packed.reshape(h_pad, ntx, n_out, tile_w)
+    return [s[:, :, c, :].reshape(h_pad, ntx * tile_w)
+            for c in range(min(n_out, 7))]
+
+
+def _gbuffers_from_packed(packed, config: RenderConfig, tile_h: int,
+                          tile_w: int, n_attrs: int, n_views: int = 1,
+                          rows_per_view: int = 0):
+    """(color, z, normal) planar stacks from a packed stripe G-buffer.
+
+    ``rows_per_view`` is the per-view tile-row stride for view-batched
+    buffers (``view_row_stride``); 0/1 view → plain [:h, :w] crop. With
+    ``n_attrs == 3`` (fast-shade) the normal stack is zeros.
+    """
+    h, w = config.height, config.width
+    chans = unpack_channels(packed, tile_h, tile_w, n_attrs)
+
+    def crop(c):
+        if n_views == 1:
+            return c[:h, :w]
+        return c.reshape(n_views, rows_per_view * tile_h, -1)[:, :h, :w]
+
+    cb, cg, cr, z_img = chans[:4]
+    color = jnp.stack([crop(cb), crop(cg), crop(cr)], axis=-1)
+    if n_attrs == binning.N_ATTRS:
+        nx, ny, nz = chans[4:7]
+        normal = jnp.stack([crop(nx), crop(ny), crop(nz)], axis=-1)
+    else:
+        normal = jnp.zeros_like(color)
+    return color, crop(z_img)[..., None], normal
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "config", "tile_h", "tile_w", "n_attrs", "n_views", "rows_per_view"))
+def unpack_gbuffers(packed, config: RenderConfig,
+                    tile_h: int = TILE_H, tile_w: int = TILE_W,
+                    n_attrs: int = binning.N_ATTRS, n_views: int = 1,
+                    rows_per_view: int = 0):
+    """Jitted ``_gbuffers_from_packed`` — the lazy G-buffer derivation used
+    by the filler when a frame was dispatched packed-only (``render_frame``
+    with ``packed_out=True``). Bit-exact: the packed buffer IS the G-buffer
+    data; this is the same unpack the eager path fuses into its dispatch."""
+    return _gbuffers_from_packed(packed, config, tile_h, tile_w, n_attrs,
+                                 n_views, rows_per_view)
+
+
+def packed_background(config: RenderConfig, tile_h: int = TILE_H,
+                      tile_w: int = TILE_W,
+                      n_attrs: int = binning.N_ATTRS):
+    """Empty-scene packed buffer (z stripes = z_init, everything else 0)."""
+    n_out = _out_stripes(n_attrs)
+    ntx = -(-config.width // tile_w)
+    nty = -(-config.height // tile_h)
+    col = jnp.arange(ntx * n_out * tile_w, dtype=jnp.int32)
+    return jnp.broadcast_to(
+        jnp.where((col // tile_w) % n_out == 3, jnp.float32(config.z_init),
+                  0.0),
+        (nty * tile_h, ntx * n_out * tile_w))
+
+
 def _stage_b(rows, tx0, cx, ty0, cy, counts,
              config: RenderConfig, p_cap: int, grid_cap: int,
              tile_h: int, tile_w: int, chunk: int, interpret: bool,
              group: int = 1, n_attrs: int = binning.N_ATTRS,
-             sign_cover: bool = False, n_views: int = 1):
+             sign_cover: bool = False, n_views: int = 1,
+             packed_out: bool = False):
     """Bin → Pallas raster.
 
     Returns ((color, z, normal), n_active, cap_used) where ``cap_used`` is
     the quantity the static ``p_cap`` must cover (triangle→tile pairs for
     ``group == 1``, interleaved slots for grouped mode). With
     ``n_attrs == 3`` (fast-shade mode) the normal G-buffer is zeros.
+
+    ``packed_out=True`` returns the raw packed stripe buffer instead of the
+    planar (color, z, normal) stacks — the hot path for callers that only
+    need the final shaded image: they derive it from ``packed`` in the same
+    fusion (``unpack_channels``) and the ~28 MB planar materialization
+    never happens; G-buffers come lazily from ``unpack_gbuffers``.
 
     VIEW BATCHING (``n_views > 1``): the inputs carry several views'
     triangles concatenated, with each view's tile rows offset by
@@ -750,7 +860,7 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
                                cy, ntx=ntx, nty=nty_g, slot_cap=p_cap,
                                group=group, sub=chunk // group,
                                interpret=interpret)
-        chans = _raster_tiles_grouped(
+        packed = _raster_tiles_grouped(
             binned, gstarts, gchunks, stids, sstripes, ntx, nty_g,
             tile_h, tile_w, chunk, group, config.z_init, interpret, n_attrs,
             sign_cover,
@@ -773,28 +883,18 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             binned, tile_starts, tile_counts, n_active = \
                 binning.bin_pairs_fast(rows, tx0, cx, ty0, cy, p_cap,
                                        ntx, nty, chunk)
-        chans = _raster_tiles(
+        packed = _raster_tiles(
             binned, tile_starts, tile_counts, p_cap,
             ntx, nty, tile_h, tile_w, chunk, config.z_init, interpret,
             n_attrs, sign_cover,
             tiles_per_view=ntx * nty_g1 if n_views > 1 else 0)
         cap_used = jnp.sum(counts)
 
-    def crop(c):
-        # (nty*tile_h, ntx*tile_w) planar image → per-view crop; with view
-        # batching each view owns a (nty_g1*tile_h)-row band of the stack
-        if n_views == 1:
-            return c[:h, :w]
-        return c.reshape(n_views, nty_g1 * tile_h, -1)[:, :h, :w]
-
-    cb, cg, cr, z_img = chans[:4]
-    color = jnp.stack([crop(cb), crop(cg), crop(cr)], axis=-1)
-    if n_attrs == binning.N_ATTRS:
-        nx, ny, nz = chans[4:7]
-        normal = jnp.stack([crop(nx), crop(ny), crop(nz)], axis=-1)
-    else:
-        normal = jnp.zeros_like(color)
-    return (color, crop(z_img)[..., None], normal), n_active, cap_used
+    if packed_out:
+        return packed, n_active, cap_used
+    gbuf = _gbuffers_from_packed(packed, config, tile_h, tile_w, n_attrs,
+                                 n_views, nty_g1)
+    return gbuf, n_active, cap_used
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -831,12 +931,13 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
 
 @functools.partial(jax.jit, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group", "post", "sign_cover"))
+    "group", "post", "sign_cover", "packed_out"))
 def render_frame(tri_verts, tri_norms, tri_colors,
                  config: RenderConfig, p_cap: int, grid_cap: int,
                  tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 128,
                  interpret: bool = False, group: int = 1,
-                 post: str = "none", light=None, sign_cover: bool = False):
+                 post: str = "none", light=None, sign_cover: bool = False,
+                 packed_out: bool = False):
     """Whole frame as ONE dispatch: geometry → bin → raster [→ shade].
 
     Per-dispatch overhead matters (over a remote-device tunnel it dominates),
@@ -844,6 +945,16 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     with cached static capacities. Returns ((color, z, normal), cap_used,
     n_active_tiles[, post_image]) — the caller may (lazily) verify
     ``cap_used <= p_cap``.
+
+    ``packed_out=True`` replaces the planar (color, z, normal) stacks in the
+    return with the raw PACKED stripe G-buffer (the kernels' native output
+    layout). The ``post`` image is then derived from ``packed`` inside the
+    same fusion, so the ~28 MB of planar-stack materialization drops out of
+    the hot path entirely; callers reconstruct exact planar G-buffers on
+    demand with ``unpack_gbuffers(packed)`` (bit-identical — the packed
+    buffer IS the G-buffer data). This is the steady-state animation mode:
+    a frame's deliverable is its shaded image, the G-buffers are
+    device-resident state read only when someone asks.
 
     ``post`` fuses the final-image pass into the same dispatch (the separate
     shade dispatch otherwise costs a second program launch per frame over
@@ -874,9 +985,11 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     from .projection import project_to_screen, visibility_masks
 
     fast = post == "fast_lambert_u8"
+    n_attrs = 3 if fast else binning.N_ATTRS
     if tri_verts.shape[0] == 0:   # empty scene → background
         zero = jnp.zeros((), jnp.int32)
-        out = _background(config)
+        out = (packed_background(config, tile_h, tile_w, n_attrs)
+               if packed_out else _background(config))
     else:
         degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
         active = jnp.logical_and(~degenerate, ~backfacing)
@@ -885,22 +998,29 @@ def render_frame(tri_verts, tri_norms, tri_colors,
             # per-vertex Lambert shade baked into the colors (Gouraud) —
             # the same shared definition the deferred pass uses, applied to
             # (T, 3, 3) per-vertex normals instead of the G-buffer
-            attr_colors, attr_normals, n_attrs = (
-                lambert_shade(tri_colors, tri_norms, light), None, 3)
+            attr_colors, attr_normals = lambert_shade(tri_colors, tri_norms,
+                                                      light), None
         else:
-            attr_colors, attr_normals, n_attrs = (tri_colors, tri_norms,
-                                                  binning.N_ATTRS)
+            attr_colors, attr_normals = tri_colors, tri_norms
         rows, tx0, cx, ty0, cy, counts, _total = _plane_stage(
             tris_screen, attr_colors, attr_normals, active, config, tile_h,
             tile_w)
         out, n_active, cap_used = _stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
-            tile_h, tile_w, chunk, interpret, group, n_attrs, sign_cover)
+            tile_h, tile_w, chunk, interpret, group, n_attrs, sign_cover,
+            packed_out=packed_out)
     if tri_verts.shape[0] == 0:
         n_active = cap_used = zero
     if post == "none":
         return out, cap_used, n_active
-    color, _z, normal = out
+    if packed_out:
+        # derive the post image straight from the packed stripes: XLA fuses
+        # the unpack into the shade/quantize and DCEs the unread channels —
+        # the planar stacks never materialize
+        color, _z, normal = _gbuffers_from_packed(out, config, tile_h,
+                                                  tile_w, n_attrs)
+    else:
+        color, _z, normal = out
     if post == "lambert_u8":
         img = lambert_shade(color, normal, light).astype(jnp.uint8)
     else:   # "u8" or fast mode (colors already shaded per-vertex)
@@ -948,4 +1068,4 @@ def rasterize(tris_screen: jnp.ndarray,
 
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group", "n_attrs", "sign_cover", "n_views"))
+    "group", "n_attrs", "sign_cover", "n_views", "packed_out"))

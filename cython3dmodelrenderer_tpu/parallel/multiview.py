@@ -125,7 +125,7 @@ def _sweep(body, xs, unroll: int = 4):
 def _render_view_pallas(tri_verts, tri_norms, tri_colors,
                         config: RenderConfig, p_cap: int, chunk: int,
                         group: int, interpret: bool, light,
-                        fast: bool = False):
+                        fast: bool = False, packed_out: bool = False):
     """One posed view through the production Pallas pipeline.
 
     Shared by the single-chip turntable, view-sharded, and triangle-sharded
@@ -134,6 +134,11 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
     (shaded color, z, normal, cap_used) — ``cap_used`` is the bin-slot
     demand the static ``p_cap`` must cover (geometry was silently truncated
     iff ``cap_used > p_cap``).
+
+    ``packed_out=True`` instead returns (packed, n_attrs, cap_used) — the
+    raw packed stripe G-buffer for callers that only keep the final image
+    (the sweeps): they derive it via ``raster_pallas._gbuffers_from_packed``
+    inside the same fusion and the unread planar stacks never materialize.
     """
     from ..ops import binning, raster_pallas
 
@@ -155,9 +160,13 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
                                               binning.N_ATTRS)
     rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
         ts, attr_colors, attr_normals, act, config, th, tw)
-    (color, z, normal), _na, used = raster_pallas._stage_b(
+    out, _na, used = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
-        th, tw, chunk, interpret, group, n_attrs=n_attrs)
+        th, tw, chunk, interpret, group, n_attrs=n_attrs,
+        packed_out=packed_out)
+    if packed_out:
+        return out, n_attrs, used
+    color, z, normal = out
     if fast or light is None:   # pre-shaded (Gouraud) or NoIllumination
         return color, z, normal, used
     return lambert_shade(color, light=light, n_buffer=normal), z, normal, used
@@ -216,7 +225,7 @@ def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
     ACROSS views, and the per-view fixed stage costs amortize. Each view's
     pixels stay BIT-IDENTICAL to its single-view render (plane evaluation
     is view-relative — ``raster_pallas._stage_b`` docs). Returns
-    (shaded (V, H, W, 3), z, normal, cap_used).
+    (shaded (V, H, W, 3), cap_used).
     """
     from ..ops import binning
 
@@ -224,13 +233,21 @@ def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
         tri_verts, tri_norms, tri_colors, angles_b, shifts_b, config, group,
         light=light, fast=fast)
     th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
-    (color, z, normal), _na, used = raster_pallas._stage_b(
+    n_attrs = 3 if fast else binning.N_ATTRS
+    n_views = int(angles_b.shape[0])
+    # packed out: the sweep keeps only the (shaded) image — derive it from
+    # the packed stripes so the unread planar stacks never materialize
+    packed, _na, used = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
         th, tw, chunk, interpret, group,
-        n_attrs=3 if fast else binning.N_ATTRS, n_views=int(angles_b.shape[0]))
+        n_attrs=n_attrs, n_views=n_views, packed_out=True)
+    nty = -(-config.height // th)
+    color, _z, normal = raster_pallas._gbuffers_from_packed(
+        packed, config, th, tw, n_attrs, n_views=n_views,
+        rows_per_view=raster_pallas.view_row_stride(nty, group))
     if fast or light is None:   # pre-shaded (Gouraud) or NoIllumination
-        return color, z, normal, used
-    return lambert_shade(color, light=light, n_buffer=normal), z, normal, used
+        return color, used
+    return lambert_shade(color, light=light, n_buffer=normal), used
 
 
 def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
@@ -244,7 +261,7 @@ def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
 
     def oneb(xs):
         a_b, s_b = xs
-        color, _z, _normal, used = _render_viewbatch_pallas(
+        color, used = _render_viewbatch_pallas(
             tri_verts, tri_norms, tri_colors, a_b, s_b, config, p_cap,
             chunk, group, interpret, light, fast=fast)
         if post == "u8":
@@ -273,9 +290,16 @@ def _run_sweep(tri_verts, tri_norms, tri_colors, angles, shifts,
     def one(pose):
         angle3, shift3 = pose
         v, n = _pose_triangles(tri_verts, tri_norms, angle3, shift3)
-        color, _z, _normal, used = _render_view_pallas(
+        # packed out: only the (shaded) image is kept — unpack fuses into
+        # the shade/quantize, the unread planar stacks never materialize
+        packed, n_attrs, used = _render_view_pallas(
             v, n, tri_colors, config, p_cap, chunk, group, interpret,
-            light, fast=fast_shade)
+            light, fast=fast_shade, packed_out=True)
+        th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+        color, _z, normal = raster_pallas._gbuffers_from_packed(
+            packed, config, th, tw, n_attrs)
+        if not fast_shade and light is not None:
+            color = lambert_shade(color, light=light, n_buffer=normal)
         if post == "u8":
             color = color.astype(jnp.uint8)
         return color, used

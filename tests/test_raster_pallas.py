@@ -745,3 +745,52 @@ def test_grouped_slot_total_degrades_with_stage_b():
     _rows, _tx0, _cx, _ty0, _cy, counts = binning.plane_data(
         ts, active, config, rp.TILE_H, rp.TILE_W)
     assert total == int(jnp.sum(counts))
+
+
+def test_packed_out_parity():
+    """``packed_out=True`` + ``unpack_gbuffers`` must be BIT-identical to
+    the eager planar return, and the fused post image must not change —
+    the packed stripe buffer IS the G-buffer data, unpacked lazily."""
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+    from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+
+    config = RenderConfig(height=96, width=128, fov=60)
+    tris, colors, normals = random_scene(t=80, seed=7)
+    tv, tn, tc = jnp.asarray(tris), jnp.asarray(normals), jnp.asarray(colors)
+    light = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+
+    for group in (1, rp.GROUP):
+        eager = rp.render_frame(tv, tn, tc, config, 4096, 0, group=group,
+                                interpret=True, post="lambert_u8",
+                                light=light)
+        packed = rp.render_frame(tv, tn, tc, config, 4096, 0, group=group,
+                                 interpret=True, post="lambert_u8",
+                                 light=light, packed_out=True)
+        (c_e, z_e, n_e), _u, _na, img_e = eager
+        pk, _u2, _na2, img_p = packed
+        np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_e))
+        c_p, z_p, n_p = rp.unpack_gbuffers(pk, config)
+        np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_e))
+        np.testing.assert_array_equal(np.asarray(z_p), np.asarray(z_e))
+        np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_e))
+
+    # filler level: the lazy getters serve the same buffers the eager
+    # compat wrapper returns
+    filler = AdvancedPixelBufferFiller(96, 128, fov=60, backend="pallas",
+                                       interpret=True)
+    filler.render_arrays(tv, tn, tc, post="u8")
+    assert filler._packed is not None          # still lazy
+    img_lazy = np.asarray(filler._post_image)
+    c = np.asarray(filler.get_color_buffer())  # materializes
+    assert filler._packed is None
+    filler2 = AdvancedPixelBufferFiller(96, 128, fov=60, backend="pallas",
+                                        interpret=True)
+    c2, z2, n2 = filler2._rasterize(tv, tn, tc, post="u8")
+    np.testing.assert_array_equal(c, np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(filler.get_z_buffer()),
+                                  np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(filler.get_normals_buffer()),
+                                  np.asarray(n2))
+    np.testing.assert_array_equal(img_lazy, np.asarray(filler2._post_image))

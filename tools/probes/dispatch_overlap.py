@@ -36,7 +36,7 @@ tc = jnp.asarray(model.colors_by_triangles, jnp.float32)
 
 
 def frame():
-    filler._rasterize(tv, tn, tc, post="u8")
+    filler.render_arrays(tv, tn, tc, post="u8")
     return filler._post_image
 
 
@@ -78,7 +78,7 @@ def chained():
     def body(_, carry):
         _out, _tot, _act, img = raster_pallas.render_frame(
             tv + carry * 1e-30, tn, tc, filler.config, p_cap, 0,
-            group=group, post="u8")
+            group=group, post="u8", packed_out=True)
         return img[0, 0, 0].astype(jnp.float32)
     return jax.lax.fori_loop(0, NITER, body, jnp.float32(0.0))
 

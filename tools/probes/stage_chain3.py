@@ -143,12 +143,21 @@ timeit("  one (p_cap, 35) row gather", chain(s_rowgather), calib)
 
 
 def s_raster(x, i):
-    chans = raster_pallas._raster_tiles_grouped(
+    packed = raster_pallas._raster_tiles_grouped(
         binned + x * EPS, gstarts, gchunks, stids, sstripes, ntx,
         nty_g, th, tw, chunk, group, config.z_init, False)
-    return x + chans[3][0, 0] * EPS
+    return x + packed[0, 0] * EPS
 
-timeit("raster grouped (kernel + unpack)", chain(s_raster), calib)
+timeit("raster grouped (kernel, packed out)", chain(s_raster), calib)
+
+
+def s_geometry(x, i):
+    deg2, back2 = visibility_masks(tv + x * EPS, tn)
+    act2 = jnp.logical_and(~deg2, ~back2)
+    ts2 = project_to_screen(tv + x * EPS, config)
+    return x + (ts2[0, 0, 0] + act2[0].astype(jnp.float32)) * EPS
+
+timeit("geometry stage (cull+project)", chain(s_geometry), calib)
 
 
 def s_planes(x, i):
@@ -177,3 +186,24 @@ def s_frame_raw(x, i):
     return x + out[0][0][0, 0, 0] * EPS
 
 timeit("FULL frame (post=none)", chain(s_frame_raw), calib)
+
+
+def s_frame_packed(x, i):
+    out = raster_pallas.render_frame(
+        tv + x * EPS, tn, tc, config,
+        p_cap=p_cap, grid_cap=ntx * nty, group=group, post="u8",
+        packed_out=True)
+    return x + out[3][0, 0, 0].astype(jnp.float32) * EPS
+
+timeit("FULL frame (post=u8, packed_out)", chain(s_frame_packed), calib)
+
+
+def s_frame_packed_raw(x, i):
+    out = raster_pallas.render_frame(
+        tv + x * EPS, tn, tc, config,
+        p_cap=p_cap, grid_cap=ntx * nty, group=group, post="none",
+        packed_out=True)
+    return x + out[0][0, 0] * EPS
+
+timeit("FULL frame (post=none, packed_out)", chain(s_frame_packed_raw),
+       calib)

@@ -118,7 +118,13 @@ def plane_data(tris_screen: jnp.ndarray, active: jnp.ndarray,
         cols += [packed[:, ch, k] for ch in range(n_ch) for k in range(3)]
 
     cols += [jnp.zeros_like(a0)] * (ROW_WIDTH - len(cols))
-    rows = jnp.stack(cols, axis=1)
+    # Pack as (ROW_WIDTH, T) + ONE transpose: stacking along a NEW MAJOR
+    # axis keeps every (T,) column in its native lane layout (cheap
+    # copies), and XLA transposes the block in one pass. The axis=1 stack
+    # (64 column insertions, each a lane→sublane relayout) measured
+    # ~0.24 ms/frame slower on T-Rex (stage_chain3 plane stage: 0.265 →
+    # 0.023 net).
+    rows = jnp.stack(cols, axis=0).T
 
     tx0 = jnp.where(nonempty, xl // tile_w, 0)
     tx1 = jnp.where(nonempty, (xr - 1) // tile_w, -1)

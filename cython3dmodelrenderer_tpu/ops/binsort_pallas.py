@@ -186,12 +186,16 @@ def _expand_pairs(tx0, cx, ty0, cy, ntx: int, slot_cap: int):
     Enumerates ALL (triangle, tile) pairs XLA-side, in triangle order with
     each triangle's covered tiles in row-major (dy, dx) order — exactly the
     sequential order the depth-tie rule needs. Run expansion: scatter each
-    active triangle's metadata to its run start (run starts = exclusive
-    cumsum of per-triangle pair counts), then fill forward with a cummax —
-    valid because every scattered word is strictly increasing in triangle
-    order (run starts ascend by >= 1 per active triangle, so off<<6
-    dominates cx; the triangle index dominates the base tile). Two scatters
-    total (XLA's 1D scatter is a serial loop, so each one matters).
+    active triangle's packed (index, base tile) to its run start (run
+    starts = exclusive cumsum of per-triangle pair counts), then fill
+    forward with a cummax — valid because every scattered word is strictly
+    increasing in triangle order (run starts ascend by >= 1 per active
+    triangle, so off<<6 dominates cx; the triangle index dominates the
+    base tile). Two scatters total (XLA's 1D scatter is a serial loop, so
+    each one matters — but do NOT replace the a_p ffill with
+    ``((off << 6) | cx)[tri_p]``: that slot_cap-sized 1-D element gather
+    measured ~0.13 ms/frame, twice the ffill it saves; see the element-
+    gather note in ``bin_gather_grouped``).
 
     NOTE: (tri << 14) | tile reaches exactly INT32_MAX at the callers'
     asserted limits (tri = 2^17-1, tile = 2^14-1) — ZERO headroom. Widening

@@ -1,0 +1,133 @@
+"""Primitive-cost probe for the raster epilogue redesign (PERF_NOTES roadmap 1).
+
+raster_slope.py measured the per-stripe epilogue at 0.632 ms/frame — 68% of
+the grouped kernel (chunk-body 0.130, fixed 0.107). The epilogue is built
+from full-width (TH, TW, K) lane-space primitives; this probe measures each
+candidate primitive's marginal cost inside a realistic Pallas kernel (same
+shapes, same compiler) by replicating it R times against live VMEM scratch
+and fitting ms vs R:
+
+  reduce    — jnp.min over the 128-lane axis of (16, 32, 128) (the current
+              per-stripe masked tree, x9 per stripe today)
+  wherered  — where(seg-mask) + the same reduce (the actual per-stripe op)
+  extract   — static single-lane extract x[:, :, k] -> (16, 32)
+  roll      — pltpu.roll by 16 lanes (butterfly-round building block)
+  segsum    — (512, 128) @ (128, 128) f32 MXU matmul with HIGHEST precision
+              (the one-hot segmented-sum attr resolve candidate)
+  segsum6   — the same contraction at the stacked (6*512, 128) shape
+  stack6red — masked min-reduce over the stacked (6, 16, 32, 128) (today's
+              fused attr reduction, x1 per stripe)
+
+Each rep perturbs its input by rep * 1e-30 (runtime identity in f32) so the
+compiler cannot hoist or CSE the replicas; results accumulate into an output
+scalar so nothing is DCE'd. Usage: python tools/probes/epi_prims.py [prim...]
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH, TW, K = 16, 32, 128
+SUB = 16
+NITER = 10
+REPS = (0, 4, 8)
+
+lane_np = np.arange(K, dtype=np.int32)
+SEG_NP = (lane_np // SUB)
+SMAT = (SEG_NP[:, None] == SEG_NP[None, :]).astype(np.float32)
+
+
+def _prim_body(name, x, attr, smat):
+    """One replica of the primitive; returns a scalar folded into the carry."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    seg = lane // SUB
+    if name == "reduce":
+        r = jnp.min(x, axis=2)                          # (TH, TW)
+        return r[0, 0]
+    if name == "wherered":
+        r = jnp.min(jnp.where(seg == 3, x, jnp.inf), axis=2)
+        return r[0, 0]
+    if name == "extract":
+        r = x[:, :, 48]                                  # (TH, TW)
+        return r[0, 0]
+    if name == "roll":
+        r = pltpu.roll(x, 16, 2)
+        return r[0, 0, 0]
+    if name == "segsum":
+        v = x.reshape(TH * TW, K)
+        y = jax.lax.dot_general(v, smat, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        return y[0, 0]
+    if name == "segsum6":
+        v = jnp.broadcast_to(x[None], (6, TH, TW, K)).reshape(6 * TH * TW, K)
+        y = jax.lax.dot_general(v, smat, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        return y[0, 0]
+    if name == "stack6red":
+        st = jnp.broadcast_to(attr[None] + x[0, 0, 0], (6, TH, TW, K))
+        r = jnp.max(jnp.where((seg == 3)[None], st, -jnp.inf), axis=3)
+        return r[0, 0, 0]
+    raise ValueError(name)
+
+
+def make_kernel(name, reps):
+    def kernel(x_ref, out_ref, attr, smat_ref):
+        attr[:] = x_ref[:]
+        smat = smat_ref[:] if name.startswith("segsum") else None
+
+        def body(rep, acc):
+            x = x_ref[:] + rep.astype(jnp.float32) * jnp.float32(1e-30)
+            return acc + _prim_body(name, x, attr[:], smat)
+
+        out_ref[0, 0] = jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    return kernel
+
+
+def prim_ms(name, reps):
+    kernel = make_kernel(name, reps)
+    x = jnp.asarray(np.random.default_rng(0).random((TH, TW, K)), jnp.float32)
+    smat = jnp.asarray(SMAT)
+
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((TH, TW, K), jnp.float32)],
+        )(x, smat)
+
+    @jax.jit
+    def chain(x0):
+        c = jnp.float32(0)
+        for i in range(NITER):
+            c = c + run(x + c * jnp.float32(1e-30))[0, 0]
+        return c
+
+    jax.block_until_ready(chain(jnp.float32(0)))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(jnp.float32(0)))
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return best / NITER
+
+
+PRIMS = ["reduce", "wherered", "extract", "roll", "segsum", "segsum6",
+         "stack6red"]
+want = [a for a in sys.argv[1:] if not a.isdigit()] or PRIMS
+for name in want:
+    walls = [prim_ms(name, r) for r in REPS]
+    x = np.asarray(REPS, np.float64)
+    slope, _ = np.polyfit(x, np.asarray(walls), 1)
+    per_us = slope * 1e3
+    print(f"{name:10s}: {per_us:8.3f} us/op   walls "
+          + " ".join(f"{w:6.3f}" for w in walls))

@@ -598,9 +598,25 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         tri = jnp.asarray(triangle, jnp.float32)[None]
         cols = jnp.asarray(colors, jnp.float32)[None]
         norms = jnp.asarray(normals, jnp.float32)[None]
-        color, z, normal = _raster_one(
-            tri, cols, norms, color_buffer.array.astype(jnp.float32),
-            z_buffer.array, n_buffer.array, self.config)
+        # Prelude (one small dispatch): cull + project + ceil-bbox. Culled or
+        # off-screen triangles touch nothing — same as the reference's early
+        # returns (py filler:59-68) and the old full-image masks.
+        ts, active, xl, xr, yl, yr = _compat_prelude(tri, norms, self.config)
+        if not bool(active) or int(xr) <= int(xl) or int(yr) <= int(yl):
+            return
+        h, w = self.config.height, self.config.width
+        # Bucketed static window over the clipped ceil-bbox — the reference
+        # restricts work to the bbox meshgrid (py filler:108-145); a
+        # power-of-two bucket keeps jit recompiles to ~log(image dim).
+        bh = _pow2_bucket(int(yr) - int(yl), h)
+        bw = _pow2_bucket(int(xr) - int(xl), w)
+        # Clamp the window origin so it stays inside the image; it still
+        # covers the clipped bbox because the bbox fits in (bh, bw).
+        y0 = min(int(yl), h - bh)
+        x0 = min(int(xl), w - bw)
+        color, z, normal = _raster_one_window(
+            ts, cols[0], norms[0], color_buffer.array.astype(jnp.float32),
+            z_buffer.array, n_buffer.array, y0, x0, self.config, bh, bw)
         color_buffer.array = color
         z_buffer.array = z
         n_buffer.array = normal
@@ -687,18 +703,44 @@ class EdgeOnlyPixelBufferFiller(PixelBufferFiller):
                                          line_colors, active, h, w, 1)
 
 
+def _pow2_bucket(need: int, cap: int) -> int:
+    """Smallest power-of-two ≥ ``need``, clipped to ``cap`` (≥ 8)."""
+    b = 8
+    while b < need:
+        b *= 2
+    return min(b, cap)
+
+
 @partial(jax.jit, static_argnames=("config",))
-def _raster_one(tri, cols, norms, color_arr, z_arr, n_arr,
-                config: RenderConfig):
-    """Single-triangle full-image rasterization against existing buffers."""
-    h, w = config.height, config.width
+def _compat_prelude(tri, norms, config: RenderConfig):
+    """Cull + project + ceil-bbox for one triangle (compat-path prelude)."""
     degenerate, backfacing = visibility_masks(tri, norms)
     active = jnp.logical_and(~degenerate, ~backfacing)[0]
     ts = project_to_screen(tri, config)[0]        # (3, 3)
+    xl, xr, yl, yr = raster_ref.bbox_ceil(ts[None, :, :2],
+                                          config.width, config.height)
+    return ts, active, xl[0], xr[0], yl[0], yr[0]
 
-    xl, xr, yl, yr = raster_ref.bbox_ceil(ts[None, :, :2], w, h)
-    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+
+@partial(jax.jit, static_argnames=("config", "bh", "bw"))
+def _raster_one_window(ts, cols, norms, color_arr, z_arr, n_arr, y0, x0,
+                       config: RenderConfig, bh: int, bw: int):
+    """Single-triangle rasterization over a (bh, bw) bbox window.
+
+    Mirrors the reference's bbox-meshgrid restriction (py filler:108-145):
+    only the window around the triangle's clipped ceil-bbox is evaluated,
+    with the same barycentric/z/strict-< rules as the batched oracle. Pixel
+    coordinates are absolute, so results are bit-identical to the former
+    full-image-grid formulation at ~(bbox/image)² of the cost.
+    """
+    c_win = jax.lax.dynamic_slice(color_arr, (y0, x0, 0), (bh, bw, 3))
+    z_win = jax.lax.dynamic_slice(z_arr, (y0, x0, 0), (bh, bw, 1))
+    n_win = jax.lax.dynamic_slice(n_arr, (y0, x0, 0), (bh, bw, 3))
+
+    xl, xr, yl, yr = raster_ref.bbox_ceil(ts[None, :, :2],
+                                          config.width, config.height)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
     in_bbox = (px >= xl[0]) & (px < xr[0]) & (py >= yl[0]) & (py < yr[0])
 
     l0, l1, l2 = raster_ref.barycentric(ts[None, None, :, :2],
@@ -707,13 +749,15 @@ def _raster_one(tri, cols, norms, color_arr, z_arr, n_arr,
     inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
     z = l0 * ts[0, 2] + l1 * ts[1, 2] + l2 * ts[2, 2]
     z_ok = (z >= 0.0) & (z <= 1.0)
-    win = active & in_bbox & inside & z_ok & (z[..., None] < z_arr)[..., 0]
+    win = in_bbox & inside & z_ok & (z[..., None] < z_win)[..., 0]
 
-    bar = jnp.stack([l0, l1, l2], axis=-1)        # (H, W, 3)
-    new_c = jnp.einsum("hwk,kd->hwd", bar, cols[0], precision="highest")
-    new_n = jnp.einsum("hwk,kd->hwd", bar, norms[0], precision="highest")
+    bar = jnp.stack([l0, l1, l2], axis=-1)        # (bh, bw, 3)
+    new_c = jnp.einsum("hwk,kd->hwd", bar, cols, precision="highest")
+    new_n = jnp.einsum("hwk,kd->hwd", bar, norms, precision="highest")
 
-    color_arr = jnp.where(win[..., None], new_c, color_arr)
-    z_arr = jnp.where(win[..., None], z[..., None], z_arr)
-    n_arr = jnp.where(win[..., None], new_n, n_arr)
-    return color_arr, z_arr, n_arr
+    c_win = jnp.where(win[..., None], new_c, c_win)
+    z_win = jnp.where(win[..., None], z[..., None], z_win)
+    n_win = jnp.where(win[..., None], new_n, n_win)
+    return (jax.lax.dynamic_update_slice(color_arr, c_win, (y0, x0, 0)),
+            jax.lax.dynamic_update_slice(z_arr, z_win, (y0, x0, 0)),
+            jax.lax.dynamic_update_slice(n_arr, n_win, (y0, x0, 0)))

@@ -57,3 +57,22 @@ def basketball_path():
     if not os.path.exists(p):
         pytest.skip("reference assets unavailable")
     return p
+
+
+# ---------------------------------------------------------------------------
+# slow-test marking: the interpret-mode Pallas suites dominate the ~13 min
+# full-suite wall; `pytest -m "not slow"` keeps an iteration loop under a
+# minute while CI still runs everything.
+SLOW_MODULES = {"test_raster_pallas", "test_multiview"}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: interpret-mode / large-scene tests (~minutes); "
+        "deselect with -m 'not slow'")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

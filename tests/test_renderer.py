@@ -227,6 +227,38 @@ def test_per_triangle_compat_path(cube_path):
                                z_buf.get_image(), atol=1e-5)
 
 
+def test_per_triangle_compat_path_512(trex_path):
+    """The compat path at 512² on a real mesh subset, in seconds not hours.
+
+    Guards the bbox-windowed formulation (the former full-image grids made
+    this path ~(image/bbox)² slower — unusable beyond toy sizes): 250 T-Rex
+    triangles at 512² must match the batched oracle exactly.
+    """
+    model = posed_trex(trex_path)
+    size = 512
+    n = 250
+    tris = np.asarray(model.vertices_by_triangles)[:n]
+    cols = np.asarray(model.colors_by_triangles)[:n]
+    norms = np.asarray(model.normals_by_triangles)[:n]
+
+    filler_b = AdvancedPixelBufferFiller(size, size, fov=45, backend="jnp")
+    filler_b.render_arrays(jnp.asarray(tris), jnp.asarray(norms),
+                           jnp.asarray(cols))
+    batched_color = np.asarray(filler_b.get_color_buffer())
+
+    filler_s = AdvancedPixelBufferFiller(size, size, fov=45, backend="jnp")
+    color_buf = Buffer(size, size, dim=3, dtype="float32")
+    z_buf = Buffer(size, size, dim=1, dtype="float32", init_val=1e6)
+    n_buf = Buffer(size, size, dim=3, dtype="float32")
+    for i in range(n):
+        filler_s.compute_triangle_statistics(tris[i], cols[i], norms[i],
+                                             color_buf, z_buf, n_buf)
+    np.testing.assert_allclose(batched_color, color_buf.get_image(),
+                               atol=0.05, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(filler_b.get_z_buffer()),
+                               z_buf.get_image(), atol=1e-5)
+
+
 def test_golden_trex(trex_path):
     """Our render vs the committed reference render (output/T-Rex.png).
 

@@ -17,6 +17,23 @@ and fitting ms vs R:
   segsum6   — the same contraction at the stacked (6*512, 128) shape
   stack6red — masked min-reduce over the stacked (6, 16, 32, 128) (today's
               fused attr reduction, x1 per stripe)
+  epi_cur   — the production per-stripe tile_block minus the obuf store,
+              with a broadcast-collapsed attr stack (lower bound)
+  epi_cur6  — epi_cur with six DISTINCT attr channels: the honest
+              production per-stripe cost
+  epi_bfly_once   — butterfly prologue shared by all 8 stripes (segmented
+              z-min + tie-break lane via 4 masked roll-doubling rounds)
+  epi_bfly_stripe — per-stripe remainder once win/ztb are precomputed
+  slicered  — static 16-lane slice of one segment + min over the narrow
+              tensor (is an 8x-narrower epilogue possible?)
+  epi_slice — the full per-stripe epilogue on the sliced (TH, TW, 16) view
+  epi_cur8  — the honest CURRENT per-GROUP epilogue: 8 stripes, each
+              re-reading all 6 attr channels from VMEM (measures the
+              re-stream overhead epi_cur6 hides)
+  epi_rr_group — the GROUP-PACKED candidate: round-robin strided segments
+              (stripe = lane %% 8), unmasked roll-doubling computing all 8
+              stripes at once, one (TH, TW, K) output block assembled by
+              lane-class selects (lane = stripe + 8*plane), ONE store
 
 Each rep perturbs its input by rep * 1e-30 (runtime identity in f32) so the
 compiler cannot hoist or CSE the replicas; results accumulate into an output
@@ -41,7 +58,7 @@ SEG_NP = (lane_np // SUB)
 SMAT = (SEG_NP[:, None] == SEG_NP[None, :]).astype(np.float32)
 
 
-def _prim_body(name, x, attr, smat):
+def _prim_body(name, x, attr, smat, attr6=None):
     """One replica of the primitive; returns a scalar folded into the carry."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
     seg = lane // SUB
@@ -116,7 +133,6 @@ def _prim_body(name, x, attr, smat):
     if name == "epi_bfly_stripe":
         # per-stripe remainder once win/ztb are precomputed full-width:
         # one masked z reduce + the fused stacked attr reduce + concat
-        lanef = lane.astype(jnp.float32)
         win = x > 0.5  # stand-in mask, same shape/layout
         afin = jnp.broadcast_to(attr[None] + x[0, 0, 0], (6, TH, TW, K))
         inseg = seg == 3
@@ -151,6 +167,63 @@ def _prim_body(name, x, attr, smat):
         out = jnp.concatenate(avs[:3] + [zt_out] + avs[3:]
                               + [jnp.zeros_like(zt_out)], axis=1)
         return jnp.sum(out)
+    if name == "epi_cur8":
+        # the honest CURRENT per-GROUP epilogue: 8 per-stripe collapses,
+        # each reading the 6 DISTINCT attr channels from the VMEM scratch
+        # (re-streaming ~1.5 MB per stripe — the suspected overhead the
+        # per-stripe epi_cur6 number hides)
+        lanef = lane.astype(jnp.float32)
+        out_total = jnp.float32(0)
+        for s in range(8):
+            inseg = seg == s
+            zt = jnp.min(jnp.where(inseg, x, jnp.inf), axis=2)
+            zt_out = jnp.where(jnp.isinf(zt), jnp.float32(0.0), zt)
+            cand = inseg & (x == zt[..., None])
+            lmin = jnp.min(jnp.where(cand, lanef, jnp.inf), axis=2)
+            win = cand & (lanef == lmin[..., None])
+            has = ~jnp.isinf(zt)
+            a6 = attr6[:] + x[0, 0, 0]          # (6, TH, TW, K) VMEM read
+            av = jnp.max(jnp.where(win[None], a6, -jnp.inf), axis=3)
+            av = jnp.where(has[None], av, 0.0)
+            out = jnp.concatenate([av[0], av[1], av[2], zt_out, av[3],
+                                   av[4], av[5], jnp.zeros_like(zt_out)],
+                                  axis=1)
+            out_total = out_total + jnp.sum(out)
+        return out_total
+    if name == "epi_rr_group":
+        # GROUP-PACKED candidate: stripes own STRIDED lane classes
+        # (stripe = lane % 8); unmasked Hillis-Steele doubling with
+        # circular rolls by 8/16/32/64 reduces every class at once (roll
+        # by multiples of 8 maps each class to itself), the one-hot win
+        # mask turns the attr reduction into a sum, and the whole group's
+        # output packs into ONE (TH, TW, K) block: lane = stripe + 8*plane
+        # (each doubled tensor already holds stripe (lane % 8)'s value at
+        # every lane, so assembly is 8 lane-class selects, no extracts).
+        lanef = lane.astype(jnp.float32)
+
+        def segred(v, op):
+            for sh in (8, 16, 32, 64):
+                v = op(v, pltpu.roll(v, sh, 2))
+            return v
+
+        ztb = segred(x, jnp.minimum)
+        cand = x == ztb
+        lmb = segred(jnp.where(cand, lanef, jnp.inf), jnp.minimum)
+        win = cand & (lanef == lmb)
+        has = ~jnp.isinf(ztb)
+        a6 = attr6[:] + x[0, 0, 0]              # ONE (6, TH, TW, K) read
+        planes = []
+        for c in range(6):
+            aw = jnp.where(win, a6[c], 0.0)
+            planes.append(jnp.where(has, segred(aw, jnp.add), 0.0))
+        zt_out = jnp.where(has, ztb, jnp.float32(0.0))
+        order = [planes[0], planes[1], planes[2], zt_out, planes[3],
+                 planes[4], planes[5], jnp.zeros_like(zt_out)]
+        pcls = lane // 8                        # (1, 1, K) plane class
+        gout = jnp.zeros_like(x)
+        for p in range(8):
+            gout = jnp.where(pcls == p, order[p], gout)
+        return jnp.sum(gout)
     if name == "epi_cur6":
         # epi_cur with six DISTINCT attr channels (no broadcast collapse):
         # the honest production per-stripe cost
@@ -172,13 +245,18 @@ def _prim_body(name, x, attr, smat):
 
 
 def make_kernel(name, reps):
-    def kernel(x_ref, smat_ref, out_ref, attr):
+    group_prim = name in ("epi_cur8", "epi_rr_group")
+
+    def kernel(x_ref, smat_ref, out_ref, attr, attr6):
         attr[:] = x_ref[:]
+        if group_prim:
+            for c in range(6):
+                attr6[c] = x_ref[:] + jnp.float32(c)
         smat = smat_ref[:] if name.startswith("segsum") else None
 
         def body(rep, acc):
             x = x_ref[:] + rep.astype(jnp.float32) * jnp.float32(1e-30)
-            return acc + _prim_body(name, x, attr[:], smat)
+            return acc + _prim_body(name, x, attr[:], smat, attr6)
 
         acc = jax.lax.fori_loop(0, reps, body, jnp.float32(0))
         out_ref[:] = jnp.full((1, 1), acc, jnp.float32)
@@ -198,7 +276,8 @@ def prim_ms(name, reps):
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((TH, TW, K), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((TH, TW, K), jnp.float32),
+                            pltpu.VMEM((6, TH, TW, K), jnp.float32)],
         )(x, smat)
 
     @jax.jit
@@ -218,7 +297,8 @@ def prim_ms(name, reps):
 
 
 PRIMS = ["reduce", "wherered", "extract", "roll", "segsum", "segsum6",
-         "stack6red", "epi_cur", "epi_bfly_once", "epi_bfly_stripe"]
+         "stack6red", "epi_cur", "epi_bfly_once", "epi_bfly_stripe",
+         "slicered", "epi_slice", "epi_cur6"]
 want = [a for a in sys.argv[1:] if not a.isdigit()] or PRIMS
 for name in want:
     walls = [prim_ms(name, r) for r in REPS]

@@ -103,7 +103,7 @@ def raster_ms(body_reps: int, epi_reps: int) -> float:
             binned + x * EPS, gstarts, gchunks, stids, sstripes, ntx,
             nty_g, th, tw, chunk, group, config.z_init, False,
             probe_reps=(body_reps, epi_reps))
-        return x + packed[0, 0] * EPS
+        return x + packed[0, 0, 0] * EPS
     return timeit(chain(s)) - calib
 
 

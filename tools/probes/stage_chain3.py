@@ -146,7 +146,7 @@ def s_raster(x, i):
     packed = raster_pallas._raster_tiles_grouped(
         binned + x * EPS, gstarts, gchunks, stids, sstripes, ntx,
         nty_g, th, tw, chunk, group, config.z_init, False)
-    return x + packed[0, 0] * EPS
+    return x + packed[0, 0, 0] * EPS
 
 timeit("raster grouped (kernel, packed out)", chain(s_raster), calib)
 

@@ -377,7 +377,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         from .ops import raster_pallas
 
         self._color, self._z, self._normals = raster_pallas.unpack_gbuffers(
-            self._packed, self.config, n_attrs=self._packed_attrs)
+            self._packed, self.config, n_attrs=self._packed_attrs,
+            group=self._group)
         self._packed = None
 
     def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors):

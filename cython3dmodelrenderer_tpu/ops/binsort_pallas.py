@@ -126,7 +126,7 @@ def _make_group_kernel(n_tiles: int, n_sorted: int, group: int, sub: int,
             tile = stids_ref[k]
             g = k // group
             cursors[tile] = 0
-            bases[tile] = gstarts_ref[g] + (k % group) * sub
+            bases[tile] = gstarts_ref[g] + (k % group)
             bounds[tile] = gstarts_ref[g + 1]
             blocks[tile] = jnp.maximum(
                 (gstarts_ref[g + 1] - gstarts_ref[g]) // (group * sub), 1)
@@ -143,19 +143,20 @@ def _make_group_kernel(n_tiles: int, n_sorted: int, group: int, sub: int,
         # bbox of culled rows (see the SAFETY INVARIANT there): any row that
         # can cover a pixel is in that pixel's own bin at an earlier rank.
 
-        # LANE-BLOCK placement into group-interleaved slots: within a
-        # stripe, lane r holds the contiguous rank block [r*B, (r+1)*B)
-        # where B is the group's chunk count — so lane order == rank order
-        # and the raster epilogue can break z ties by MIN LANE with no rank
-        # channel at all (round-robin rank = j*sub + lane would interleave
-        # ranks across lanes and need an explicit rank accumulator).
+        # STRIDED lane-class placement into group-interleaved slots: stripe
+        # s owns lane class {s, s+group, ...}; within the class, class-lane
+        # m = r // b holds the contiguous rank block [m*B, (m+1)*B) where B
+        # is the group's chunk count — lane order == rank order, so the
+        # raster epilogue breaks z ties by MIN LANE with no rank channel,
+        # and the class structure is invariant under lane rolls by
+        # multiples of ``group`` (the epilogue's unmasked roll-doubling).
         def emit(i):
             p = pairs_ref[i]
             tile = p & ((1 << 14) - 1)
             tri = p >> 14
             r = cursors[tile]
             b = blocks[tile]
-            pos = bases[tile] + (r % b) * (group * sub) + (r // b)
+            pos = bases[tile] + (r % b) * (group * sub) + (r // b) * group
 
             # bound by the group's own (capacity-clamped) allocation so an
             # overflowing group can never stomp its neighbor's slots; the
@@ -508,14 +509,19 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
     pstart = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(tile_counts)]).astype(jnp.int32)
     tbl = pstart[jnp.minimum(stids, n_tiles)]          # (n_sorted,) small
-    tbl2 = jnp.repeat(tbl.reshape(-1, group)[:n_groups], sub, axis=1)
+    tbl2 = jnp.tile(tbl.reshape(-1, group)[:n_groups], (1, sub))
     run0 = tbl2[g_of_chunk]                            # (n_chunks, 128)
     lane = jnp.arange(chunk, dtype=jnp.int32)
-    # LANE-BLOCK rank layout: slot (chunk j, lane l) holds the stripe's
-    # rank (l % sub) * B + j — within a stripe, lane r carries the
-    # contiguous block [r*B, (r+1)*B), so lane order == rank order and the
-    # raster epilogue breaks z ties by MIN LANE (no rank channel needed)
-    f_idx = run0 + (lane % sub)[None, :] * b_c[:, None] + j_c[:, None]
+    # STRIDED (round-robin) lane-class rank layout: stripe s owns the lane
+    # class {s, s+group, s+2*group, ...} and slot (chunk j, lane l) holds
+    # stripe (l % group)'s rank (l // group) * B + j — within a class,
+    # class-lane m carries the contiguous rank block [m*B, (m+1)*B), so
+    # lane order == rank order (the raster epilogue breaks z ties by MIN
+    # LANE with no rank channel) AND segments are roll-invariant: circular
+    # lane rolls by multiples of ``group`` map every class to itself, so
+    # the epilogue's segmented reductions are UNMASKED roll-doubling
+    # computing all ``group`` stripes at once (see _raster_group).
+    f_idx = run0 + (lane // group)[None, :] * b_c[:, None] + j_c[:, None]
     f_idx = jnp.clip(f_idx.reshape(-1), 0, slot_cap - 1)
 
     # compose indices BEFORE touching the wide rows: sorted_tri[f_idx] is a

@@ -289,46 +289,60 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                          n_attrs: int = binning.N_ATTRS,
                          sign_cover: bool = False, tiles_per_view: int = 0,
                          nbuf: int = 2,
-                         probe_reps: Tuple[int, int] = (1, 1)):
+                         probe_reps: Tuple[int, int] = (1, 1),
+                         post: str = None):
     """Grouped kernel: one grid step = ``group`` COUNT-SORTED tiles.
 
-    Chunks interleave the tiles as ``sub``-lane stripes (see
-    ``binsort_pallas.bin_sort_grouped``), so sparse tiles share their
-    chunk's lanes with denser neighbors — ~2-3x fewer chunk iterations than
-    one-tile-per-step on typical scenes. Group membership follows the
-    binner's count-sorted composition (``stids``): each stripe's tile id —
-    hence its pixel-coordinate bases AND its output position — is data read
-    via scalar prefetch. Output placement is MANUAL double-buffered DMA
-    from VMEM block scratch to the tile's image position (a data-dependent
-    output *index_map* would defeat Mosaic's output pipelining — the
-    measured 12x-slower compacted-grid dead end — and an XLA-side block
-    permutation costs a measured 0.55 ms of per-block gather overhead;
-    per-stripe DMAs issue from the scalar core while the VPU crunches the
-    next group's chunks, so they hide). The output buffer arrives PRE-
-    FILLED with the background via input-output aliasing, so empty tiles
-    and empty groups write NOTHING — with count-sorted composition the
-    ~2/3 of groups that are empty skip even the epilogue.
+    Chunks interleave the tiles as STRIDED lane classes (stripe s owns
+    lanes {s, s+group, ...} — see ``binsort_pallas.bin_gather_grouped``),
+    so sparse tiles share their chunk's lanes with denser neighbors —
+    ~2-3x fewer chunk iterations than one-tile-per-step on typical scenes.
+    Group membership follows the binner's count-sorted composition
+    (``stids``): each stripe's tile id — hence its pixel-coordinate bases —
+    is data read via scalar prefetch.
 
     Depth resolve is a LANE-LOCAL running minimum in the chunk loop (plain
     compare+selects — the hot path has no cross-lane traffic at all) with
-    one segmented cross-lane argmin in the group epilogue. First-writer tie
-    semantics come FREE from the binner's LANE-BLOCK layout: within a
-    stripe, lane r holds the contiguous bin-rank block [r*B, (r+1)*B)
-    (B = the group's chunk count; bins are sorted by triangle index, so
-    rank order == sequential order). Lane-local strict-< keeps the earliest
-    rank per lane (a lane's ranks grow with the chunk index), and across
-    lanes min-rank == MIN LANE, so the epilogue breaks exact z ties with
-    the lane iota — no rank accumulator, no rank reduction. (An earlier
-    variant reduced (z, attrs…) tuples with masked-roll windowed doubling
-    PER CHUNK — ~10 us of the ~16 us chunk cost; moving the reduction to
-    the epilogue cut the kernel roughly in half. The round-robin
-    predecessor of the lane-block layout needed an explicit rank channel:
-    a third VMEM accumulator plus a select per chunk and a third epilogue
-    reduction per stripe.)
+    ONE group epilogue computing all ``group`` stripes at once: the strided
+    lane classes are invariant under circular lane rolls by multiples of
+    ``group``, so the segmented min/argmin/winner-gather are UNMASKED
+    Hillis-Steele roll-doubling (log2(sub) rounds), every full-width tensor
+    (zacc, the 6 attr accumulators) is read from VMEM exactly once per
+    group, and the group's whole output assembles into ONE full-width
+    (TH, TW, K) block — lane ``s + group*p`` holds plane p of stripe s
+    (each doubled tensor already carries stripe ``lane % group``'s value at
+    every lane, so assembly is ``n_out`` lane-class selects, no extracts,
+    no per-stripe reductions). Measured on-chip (tools/probes/epi_prims.py
+    epi_cur8 vs epi_rr_group): 9.4 → 3.6 us/group — the former per-stripe
+    epilogue re-streamed the full accumulators once per stripe.
+
+    First-writer tie semantics come FREE from the binner's strided
+    LANE-CLASS rank layout: within a stripe, class-lane m holds the
+    contiguous bin-rank block [m*B, (m+1)*B) (B = the group's chunk count;
+    bins are sorted by triangle index, so rank order == sequential order).
+    Lane-local strict-< keeps the earliest rank per lane (a lane's ranks
+    grow with the chunk index), and across a class min-rank == MIN LANE,
+    so the epilogue breaks exact z ties with the lane iota — no rank
+    accumulator, no rank reduction.
+
+    The GROUP-PACKED output (one ``(TH, TW, K)`` block per group, ordered
+    by group) makes the output a statically-blocked pallas output — Mosaic
+    pipelines it; no manual output DMA, no per-stripe semaphores, no
+    background aliasing (empty groups write a constant bg block). Tiles
+    reach their image positions in the XLA-side unpack (a gather by
+    ``stids`` — cheap on the hot path because ``post`` modes quantize
+    IN-KERNEL and gather only the 1-byte image; the f32 planar G-buffers
+    derive lazily).
+
+    ``post`` (static): None emits only the packed G-buffer; "u8" adds a
+    uint8 output block with the quantized B, G, R planes in the same
+    lane-class layout; "lambert_u8" additionally Lambert-shades in-kernel
+    (same formula as ``ops.illumination.lambert_shade``, reading the
+    pre-negated normalized light from scalar prefetch).
 
     ``probe_reps=(body_reps, epi_reps)`` is the IN-SITU SLOPE PROBE
     (tools/probes/raster_slope.py): replicate the chunk-body arithmetic /
-    the per-stripe epilogue block R times inside this very kernel — same
+    the group epilogue block R times inside this very kernel — same
     layouts, same compiler — and fit ms vs R to split ALU cost from fixed
     overhead (PERF_NOTES roadmap 1). Replicas perturb their input by
     ``rep * 1e-30`` (folds to identity at runtime in f32, so every rep
@@ -337,13 +351,15 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
     default, the production path) generates exactly the unreplicated code.
     """
     sub = chunk // group
-    gh = group * tile_h
     n_out = _out_stripes(n_attrs)
 
-    def kernel(gstarts_ref, gchunks_ref, stids_ref, sstripes_ref,
-               binned_ref, bg_ref, out_ref,
-               buf, zacc, attracc, obuf, sems, osems, pref):
-        del bg_ref  # aliased to out_ref: pre-filled background
+    def kernel(gstarts_ref, gchunks_ref, stids_ref, sstripes_ref, light_ref,
+               binned_ref, *out_and_scratch):
+        if post is None:
+            out_ref, buf, zacc, attracc, sems, pref = out_and_scratch
+            u8_ref = None
+        else:
+            out_ref, u8_ref, buf, zacc, attracc, sems, pref = out_and_scratch
         i = pl.program_id(0)
         n = pl.num_programs(0)
         start = gstarts_ref[i]
@@ -357,63 +373,33 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         def _():
             pref[0] = -1
 
-        def out_dma(j, s):
-            # output copy descriptor of group j's stripe s: VMEM block →
-            # the stripe's tile position in the image-ordered G-buffer
-            tid = stids_ref[group * j + s]
-            ty = tid // ntx
-            tx = tid % ntx
-            return pltpu.make_async_copy(
-                obuf.at[j % 2, s],
-                out_ref.at[pl.ds(ty * tile_h, tile_h),
-                           pl.ds(tx * (n_out * tile_w), n_out * tile_w)],
-                osems.at[j % 2, s])
-
-        def issued(j, jc, s):
-            # group j issued stripe s's DMA iff the stripe is non-empty AND
-            # the group kept chunks after capacity clamping (an overflow-
-            # clamped group computes nothing — waiting for it would hang)
-            return ((gchunks_ref[jc] > 0) &
-                    (sstripes_ref[group * jc + s] > 0) & (j >= 0))
-
-        # drain this slot's previous DMAs (issued at group i-2) before the
-        # epilogue rewrites the block scratch — runs on EVERY grid step so
-        # slot reuse is safe across empty groups too
-        @pl.when(i >= 2)
+        # empty (or overflow-clamped) group: constant background block —
+        # z_init in the z plane's lane class, zero elsewhere
+        @pl.when(nchunks == 0)
         def _():
-            for s in range(group):
-                @pl.when(issued(i - 2, i - 2, s))
-                def _(s=s):
-                    out_dma(i - 2, s).wait()
+            pcls = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h, tile_w, chunk), 2) // group
+            out_ref[0] = jnp.where(pcls == 3, jnp.float32(z_init), 0.0)
+            if post is not None:
+                u8_ref[0] = jnp.zeros((tile_h, tile_w, chunk), jnp.uint8)
 
         @pl.when(nchunks > 0)
         def _():
-            _raster_group(start, nchunks, i, stids_ref, sstripes_ref,
-                          binned_ref, out_dma, buf, zacc, attracc,
-                          obuf, sems, pref,
-                          gstarts_ref[n] // chunk)
+            _raster_group(start, nchunks, i, stids_ref, light_ref,
+                          binned_ref, out_ref, u8_ref, buf, zacc, attracc,
+                          sems, pref, gstarts_ref[n] // chunk)
 
-        # final drain: the last two groups' DMAs have no reuse step
-        @pl.when(i == n - 1)
-        def _():
-            for j_off in (1, 0):
-                j = i - j_off
-                jc = jnp.maximum(j, 0)
-                for s in range(group):
-                    @pl.when(issued(j, jc, s))
-                    def _(j=j, jc=jc, s=s):
-                        out_dma(jc, s).wait()
-
-    def _raster_group(start, nchunks, i, stids_ref, sstripes_ref,
-                      binned_ref, out_dma, buf, zacc, attracc,
-                      obuf, sems, pref, total_chunks):
+    def _raster_group(start, nchunks, i, stids_ref, light_ref,
+                      binned_ref, out_ref, u8_ref, buf, zacc, attracc,
+                      sems, pref, total_chunks):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
-        seg = lane // sub
-        # LANE-BLOCK bin layout (binsort_pallas): within a stripe, lane r
-        # holds the contiguous rank block [r*B, (r+1)*B) (B = this group's
-        # chunk count), so lane order == bin-rank order == sequential
-        # triangle order — exact z ties resolve to the MIN LANE in the
-        # epilogue and no rank accumulator is needed anywhere
+        seg = lane % group
+        # STRIDED LANE-CLASS bin layout (binsort_pallas): stripe s owns
+        # lanes {s, s+group, ...}; within the class, class-lane m holds the
+        # contiguous rank block [m*B, (m+1)*B) (B = this group's chunk
+        # count), so lane order == bin-rank order == sequential triangle
+        # order — exact z ties resolve to the MIN LANE in the epilogue and
+        # no rank accumulator is needed anywhere
         lanef = lane.astype(jnp.float32)                   # (1, 1, K)
         ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, 1), 1)
         iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1, 1), 0)
@@ -531,57 +517,84 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
 
         jax.lax.fori_loop(0, nchunks, body, 0)
 
-        # Segmented cross-lane argmin per stripe; each finished tile block
-        # DMAs straight to its image position (empty stripes skip — the
-        # aliased background already covers them). Exact z ties break by
-        # MINIMUM LANE = minimum rank = sequential first-writer order
-        # (lane-block bin layout).
-        # (Measured dead ends here: a (TH, TW, G, sub)-reshaped single
-        # reduction does not compile — Mosaic rejects the lane-dim shape
-        # cast 128 → GxSUB, "infer-vector-layout: unsupported shape cast";
-        # and a segmented-butterfly tournament (log2(sub) pltpu.roll rounds
-        # computing every stripe at once, then one lane-extract per stripe)
-        # compiles but measures ~8% SLOWER than the masked reductions —
-        # lane rolls and single-lane extracts are relayout-priced.)
+        # GROUP-PACKED epilogue: the strided lane classes are roll-
+        # invariant, so one unmasked Hillis-Steele doubling ladder reduces
+        # EVERY stripe at once (log2(sub) circular rolls by multiples of
+        # ``group``); the one-hot winner mask turns the attribute gather
+        # into an exact sum; and the whole group's output assembles into
+        # one full-width block — lane s + group*p = plane p of stripe s
+        # (each doubled tensor already carries stripe (lane % group)'s
+        # value at EVERY lane, so assembly is n_out lane-class selects).
+        # zacc and the n_attrs accumulators are read from VMEM exactly
+        # ONCE — the former per-stripe formulation re-streamed all of them
+        # per stripe, which measured as 60% of the epilogue cost
+        # (epi_cur8 9.4 vs epi_rr_group 3.6 us/group, epi_prims probe).
+        # (Older dead ends, all on the CONTIGUOUS lane-block layout:
+        # (TH, TW, G, sub) reshape — Mosaic rejects the lane shape cast;
+        # MASKED butterfly + per-stripe lane-extracts — extracts are
+        # relayout-priced, measured ~8% slower than masked reductions.)
         zfin = zacc[:]
-
         afin = attracc[:]                                # (n_attrs, TH, TW, K)
+        pcls = lane // group                             # (1, 1, K)
 
-        def tile_block(s, bias=None):
+        def segred(v, op):
+            sh = group
+            while sh < chunk:
+                v = op(v, pltpu.roll(v, sh, 2))
+                sh *= 2
+            return v
+
+        def epilogue(bias=None):
             # ``bias`` is the slope probe's perturbation (None in
             # production): rep-dependent but runtime-identity, so every
             # replica recomputes this whole block from live values
             zf = zfin if bias is None else zfin + bias
-            inseg = seg == s
-            zt = jnp.min(jnp.where(inseg, zf, jnp.inf), axis=2)
-            zt_out = jnp.where(jnp.isinf(zt), jnp.float32(z_init), zt)
-            cand = inseg & (zf == zt[..., None])
-            lmin = jnp.min(jnp.where(cand, lanef, jnp.inf), axis=2)
-            win = cand & (lanef == lmin[..., None])      # one-hot per pixel
-            has = ~jnp.isinf(zt)
-            # all attr channels share the win mask — ONE fused reduction
-            # over the stacked (n_attrs, TH, TW, K) accumulator instead of
-            # n_attrs separate cross-lane passes
-            av = jnp.max(jnp.where(win[None], afin, -jnp.inf), axis=3)
-            av = jnp.where(has[None], av, 0.0)           # uncovered → 0
-
-            planes = [av[0], av[1], av[2], zt_out]
+            ztb = segred(zf, jnp.minimum)                # class z-min, all lanes
+            cand = zf == ztb
+            lmb = segred(jnp.where(cand, lanef, jnp.inf), jnp.minimum)
+            win = cand & (lanef == lmb)                  # one-hot per class
+            has = ~jnp.isinf(ztb)
+            planes = []
+            for ch in range(n_attrs):
+                aw = jnp.where(win, afin[ch], 0.0)
+                # one-hot sum == the winner's value, exactly (adding
+                # zeros; a -0.0 attr flips to +0.0 — numerically equal)
+                planes.append(jnp.where(has, segred(aw, jnp.add), 0.0))
+            zt_out = jnp.where(has, ztb, jnp.float32(z_init))
+            order = [planes[0], planes[1], planes[2], zt_out]
             if n_attrs == binning.N_ATTRS:
-                planes += [av[3], av[4], av[5], jnp.zeros_like(zt_out)]
-            return jnp.concatenate(planes, axis=1)       # (TH, n_out*TW)
+                order += [planes[3], planes[4], planes[5],
+                          jnp.zeros_like(zt_out)]
+            gout = jnp.zeros_like(zf)
+            for p, t in enumerate(order):
+                gout = jnp.where(pcls == p, t, gout)
+            out_ref[0] = gout
+            if post is not None:
+                if post == "lambert_u8":
+                    # in-kernel Lambert (ops.illumination.lambert_shade):
+                    # light is the pre-negated normalized direction
+                    lx, ly, lz = light_ref[0], light_ref[1], light_ref[2]
+                    nx, ny, nz = planes[3], planes[4], planes[5]
+                    dot = nx * lx + ny * ly + nz * lz
+                    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+                    shadow = jnp.clip(dot / (norm + jnp.float32(1e-6)),
+                                      0.0, 1.0)
+                    cb, cg, cr = (planes[0] * shadow, planes[1] * shadow,
+                                  planes[2] * shadow)
+                else:                                    # "u8"
+                    cb, cg, cr = planes[0], planes[1], planes[2]
+                u8v = jnp.where(pcls == 0, cb,
+                                jnp.where(pcls == 1, cg,
+                                          jnp.where(pcls == 2, cr, 0.0)))
+                u8_ref[0] = u8v.astype(jnp.uint8)
 
-        for s in range(group):
-            @pl.when(sstripes_ref[group * i + s] > 0)
-            def _(s=s):
-                if probe_reps[1] == 1:
-                    obuf[i % 2, s] = tile_block(s)
-                else:
-                    def rep_body(rep, _):
-                        obuf[i % 2, s] = tile_block(
-                            s, rep.astype(jnp.float32) * jnp.float32(1e-30))
-                        return 0
-                    jax.lax.fori_loop(0, probe_reps[1], rep_body, 0)
-                out_dma(i, s).start()
+        if probe_reps[1] == 1:
+            epilogue()
+        else:
+            def rep_body(rep, _):
+                epilogue(rep.astype(jnp.float32) * jnp.float32(1e-30))
+                return 0
+            jax.lax.fori_loop(0, probe_reps[1], rep_body, 0)
 
     return kernel
 
@@ -594,30 +607,42 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
                           sign_cover: bool = False,
                           tiles_per_view: int = 0,
                           nbuf: int = 2,
-                          probe_reps: Tuple[int, int] = (1, 1)):
+                          probe_reps: Tuple[int, int] = (1, 1),
+                          post: str = None, light=None):
+    """Dispatch the grouped kernel.
+
+    Returns the GROUP-PACKED G-buffer ``(n_groups, tile_h, tile_w, chunk)``
+    f32 — lane ``s + group*p`` of group g's block holds plane p of the tile
+    at sorted position ``g*group + s`` (``stids``) — plus, when ``post`` is
+    set, the matching uint8 block array with the (shaded) quantized B, G, R
+    planes. Tiles reach image positions in ``unpack_gbuffers`` /
+    ``assemble_u8_image`` (XLA-side gather by ``stids``).
+    """
     n_tiles = ntx * nty
     n_sorted = -(-n_tiles // group) * group
     n_groups = n_sorted // group
-    n_out = _out_stripes(n_attrs)
     rows_used = _rows_used(n_attrs)
-    out_h, out_w = nty * tile_h, ntx * n_out * tile_w
     kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init,
                                   n_attrs, sign_cover, tiles_per_view, nbuf,
-                                  probe_reps)
+                                  probe_reps, post)
+    blk = (1, tile_h, tile_w, chunk)
+    out_specs = [pl.BlockSpec(blk, lambda i, *_: (i, 0, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((n_groups, tile_h, tile_w, chunk),
+                                       jnp.float32)]
+    if post is not None:
+        out_specs.append(pl.BlockSpec(blk, lambda i, *_: (i, 0, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (n_groups, tile_h, tile_w, chunk), jnp.uint8))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_groups,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),   # binned chunks
-                  pl.BlockSpec(memory_space=pl.ANY)],   # bg (→ aliased)
-        # full image-ordered G-buffer in HBM; tiles land via manual DMA
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],   # binned chunks
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((nbuf, rows_used, chunk), jnp.float32),
             pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
             pltpu.VMEM((n_attrs, tile_h, tile_w, chunk), jnp.float32),
-            pltpu.VMEM((2, group, tile_h, n_out * tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((nbuf,)),
-            pltpu.SemaphoreType.DMA((2, group)),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
@@ -628,22 +653,20 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
     blocks = binned.shape[0] // chunk
     binned_t = binned.reshape(blocks, chunk, binned.shape[-1]) \
         .swapaxes(1, 2)[:, :rows_used, :]
-    # background, pre-filled XLA-side (z stripe = z_init, rest 0) and
-    # DONATED to the output: unwritten tiles keep it
-    col = jnp.arange(out_w, dtype=jnp.int32)
-    bg = jnp.broadcast_to(
-        jnp.where((col // tile_w) % n_out == 3, jnp.float32(z_init), 0.0),
-        (out_h, out_w))
-    return pl.pallas_call(
+    if light is None:
+        light_arr = jnp.zeros((3,), jnp.float32)
+    else:
+        light_arr = jnp.asarray(light, jnp.float32).reshape(3)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
+        out_shape=tuple(out_shapes),
         grid_spec=grid_spec,
         interpret=interpret,
-        input_output_aliases={5: 0},   # bg operand (after 4 scalars) → out
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(gstarts, gchunks, stids, sstripes, binned_t, bg)
+    )(gstarts, gchunks, stids, sstripes, light_arr, binned_t)
+    return out if post is not None else (out[0], None)
 
 
 def _raster_tiles(binned, tile_starts, tile_counts,
@@ -760,16 +783,121 @@ def _gbuffers_from_packed(packed, config: RenderConfig, tile_h: int,
     return color, crop(z_img)[..., None], normal
 
 
+def _stacked_tile_rows(config: RenderConfig, tile_h: int, group: int,
+                       n_views: int, rows_per_view: int) -> int:
+    """Tile-row count of the (possibly view-stacked) grouped bin grid —
+    must mirror ``_stage_b``'s padding exactly."""
+    nty = -(-config.height // tile_h)
+    if n_views > 1:
+        return n_views * rows_per_view
+    return -(-nty // group) * group
+
+
+def _pos_of_tiles(stids, n_tiles: int):
+    """Inverse of the count-sorted composition: sorted position per tile."""
+    n_sorted = stids.shape[0]
+    pos = jnp.zeros((n_tiles + 1,), jnp.int32).at[
+        jnp.minimum(stids, n_tiles)].set(
+        jnp.arange(n_sorted, dtype=jnp.int32), mode="drop")
+    return pos[:n_tiles]
+
+
+def _grouped_tile_blocks(gpacked, stids, config: RenderConfig, tile_w: int,
+                         group: int, n_planes: int, nty_g: int):
+    """Gather per-tile (n_planes, TH, TW) blocks from a group-packed array.
+
+    ``gpacked``: (n_groups, TH, TW, K) — lane ``s + group*p`` holds plane p
+    of the tile at sorted position ``g*group + s``. Returns
+    (n_tiles, n_planes, TH, TW) in tile-grid order.
+    """
+    n_groups, th, tw, chunk = gpacked.shape
+    sub = chunk // group
+    ntx = -(-config.width // tile_w)
+    n_tiles = ntx * nty_g
+    n_sorted = n_groups * group
+    # lane = s + group*p  →  reshape minor 128 to (sub, group) = [p, s]
+    q = gpacked.reshape(n_groups, th, tw, sub, group)[..., :n_planes, :]
+    qq = q.transpose(0, 4, 3, 1, 2).reshape(n_sorted, n_planes, th, tw)
+    return qq[_pos_of_tiles(stids, n_tiles)]
+
+
+def _gbuffers_from_grouped(gpacked, stids, config: RenderConfig,
+                           tile_h: int, tile_w: int, n_attrs: int,
+                           group: int, n_views: int = 1,
+                           rows_per_view: int = 0):
+    """(color, z, normal) planar stacks from a GROUP-PACKED G-buffer.
+
+    The lazy (getter-time) unpack: one gather by ``stids`` + layout
+    transposes — bit-exact (the packed buffer IS the G-buffer data). The
+    hot path never runs this: ``post`` images quantize in-kernel and
+    gather only bytes (``assemble_u8_image``).
+    """
+    h, w = config.height, config.width
+    n_out = _out_stripes(n_attrs)
+    n_planes = min(n_out, 7)
+    nty_g = _stacked_tile_rows(config, tile_h, group, n_views, rows_per_view)
+    ntx = -(-w // tile_w)
+    blocks = _grouped_tile_blocks(gpacked, stids, config, tile_w, group,
+                                  n_planes, nty_g)
+    img = blocks.reshape(nty_g, ntx, n_planes, tile_h, tile_w) \
+        .transpose(2, 0, 3, 1, 4).reshape(n_planes, nty_g * tile_h,
+                                          ntx * tile_w)
+    chans = [img[c] for c in range(n_planes)]
+
+    def crop(c):
+        if n_views == 1:
+            return c[:h, :w]
+        return c.reshape(n_views, rows_per_view * tile_h, -1)[:, :h, :w]
+
+    cb, cg, cr, z_img = chans[:4]
+    color = jnp.stack([crop(cb), crop(cg), crop(cr)], axis=-1)
+    if n_attrs == binning.N_ATTRS:
+        nx, ny, nz = chans[4:7]
+        normal = jnp.stack([crop(nx), crop(ny), crop(nz)], axis=-1)
+    else:
+        normal = jnp.zeros_like(color)
+    return color, crop(z_img)[..., None], normal
+
+
+def assemble_u8_image(u8packed, stids, config: RenderConfig,
+                      tile_h: int = TILE_H, tile_w: int = TILE_W,
+                      group: int = GROUP, n_views: int = 1,
+                      rows_per_view: int = 0):
+    """(H, W, 3) uint8 image from the kernel's group-packed u8 output.
+
+    The HOT post-image path: the kernel already shaded/quantized, so this
+    moves only bytes (a ~16x smaller gather than the f32 planar unpack).
+    """
+    h, w = config.height, config.width
+    nty_g = _stacked_tile_rows(config, tile_h, group, n_views, rows_per_view)
+    ntx = -(-w // tile_w)
+    blocks = _grouped_tile_blocks(u8packed, stids, config, tile_w, group,
+                                  3, nty_g)
+    img = blocks.reshape(nty_g, ntx, 3, tile_h, tile_w) \
+        .transpose(0, 3, 1, 4, 2).reshape(nty_g * tile_h, ntx * tile_w, 3)
+    if n_views == 1:
+        return img[:h, :w]
+    return img.reshape(n_views, rows_per_view * tile_h, -1, 3)[:, :h, :w]
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "config", "tile_h", "tile_w", "n_attrs", "n_views", "rows_per_view"))
+    "config", "tile_h", "tile_w", "n_attrs", "n_views", "rows_per_view",
+    "group"))
 def unpack_gbuffers(packed, config: RenderConfig,
                     tile_h: int = TILE_H, tile_w: int = TILE_W,
                     n_attrs: int = binning.N_ATTRS, n_views: int = 1,
-                    rows_per_view: int = 0):
-    """Jitted ``_gbuffers_from_packed`` — the lazy G-buffer derivation used
-    by the filler when a frame was dispatched packed-only (``render_frame``
-    with ``packed_out=True``). Bit-exact: the packed buffer IS the G-buffer
-    data; this is the same unpack the eager path fuses into its dispatch."""
+                    rows_per_view: int = 0, group: int = GROUP):
+    """Jitted lazy G-buffer derivation used by the filler when a frame was
+    dispatched packed-only (``render_frame`` with ``packed_out=True``).
+    Bit-exact: the packed buffer IS the G-buffer data. Dispatches on the
+    packed container: a ``(gpacked, stids)`` tuple is the grouped kernel's
+    group-packed format; a bare 2-D array is the flat lane-stripe format of
+    the un-grouped fallback kernel (and the empty-scene background)."""
+    if isinstance(packed, (tuple, list)):
+        gpacked, stids = packed
+        return _gbuffers_from_grouped(gpacked, stids, config, tile_h,
+                                      tile_w, n_attrs, group, n_views,
+                                      rows_per_view)
     return _gbuffers_from_packed(packed, config, tile_h, tile_w, n_attrs,
                                  n_views, rows_per_view)
 
@@ -793,19 +921,25 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
              tile_h: int, tile_w: int, chunk: int, interpret: bool,
              group: int = 1, n_attrs: int = binning.N_ATTRS,
              sign_cover: bool = False, n_views: int = 1,
-             packed_out: bool = False):
+             packed_out: bool = False, post: str = "none", light=None):
     """Bin → Pallas raster.
 
-    Returns ((color, z, normal), n_active, cap_used) where ``cap_used`` is
+    Returns (out, n_active, cap_used, post_img) where ``cap_used`` is
     the quantity the static ``p_cap`` must cover (triangle→tile pairs for
     ``group == 1``, interleaved slots for grouped mode). With
     ``n_attrs == 3`` (fast-shade mode) the normal G-buffer is zeros.
 
-    ``packed_out=True`` returns the raw packed stripe buffer instead of the
+    ``post`` ("none" | "u8" | "lambert_u8" | "fast_lambert_u8"): on the
+    grouped path the final image shades/quantizes IN-KERNEL and
+    ``post_img`` is the assembled (H, W, 3) uint8 image ((V, H, W, 3) view-
+    batched); on the un-grouped fallback ``post_img`` is None and the
+    caller derives the image XLA-side from the G-buffers.
+
+    ``packed_out=True`` returns the raw packed G-buffer instead of the
     planar (color, z, normal) stacks — the hot path for callers that only
-    need the final shaded image: they derive it from ``packed`` in the same
-    fusion (``unpack_channels``) and the ~28 MB planar materialization
-    never happens; G-buffers come lazily from ``unpack_gbuffers``.
+    need the final shaded image. Grouped format: the ``(gpacked, stids)``
+    tuple (see ``_raster_tiles_grouped``); un-grouped: the flat lane-stripe
+    image. G-buffers come lazily from ``unpack_gbuffers`` (bit-exact).
 
     VIEW BATCHING (``n_views > 1``): the inputs carry several views'
     triangles concatenated, with each view's tile rows offset by
@@ -860,12 +994,28 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
                                cy, ntx=ntx, nty=nty_g, slot_cap=p_cap,
                                group=group, sub=chunk // group,
                                interpret=interpret)
-        packed = _raster_tiles_grouped(
+        # pre-shaded posts ("u8"/"fast_lambert_u8") only quantize in-kernel;
+        # "lambert_u8" also shades there (needs the 6-attr normal planes)
+        kpost = None if post == "none" else (
+            "lambert_u8" if post == "lambert_u8" else "u8")
+        gpacked, u8blocks = _raster_tiles_grouped(
             binned, gstarts, gchunks, stids, sstripes, ntx, nty_g,
             tile_h, tile_w, chunk, group, config.z_init, interpret, n_attrs,
             sign_cover,
-            tiles_per_view=ntx * nty_g1 if n_views > 1 else 0)
+            tiles_per_view=ntx * nty_g1 if n_views > 1 else 0,
+            post=kpost, light=light)
         cap_used = total_slots
+        rows_pv = nty_g1 if n_views > 1 else 0
+        post_img = None
+        if u8blocks is not None:
+            post_img = assemble_u8_image(u8blocks, stids, config, tile_h,
+                                         tile_w, group, n_views, rows_pv)
+        if packed_out:
+            return (gpacked, stids), n_active, cap_used, post_img
+        gbuf = _gbuffers_from_grouped(gpacked, stids, config, tile_h,
+                                      tile_w, n_attrs, group, n_views,
+                                      rows_pv)
+        return gbuf, n_active, cap_used, post_img
     else:
         from .binsort_pallas import SMEM_PLACEMENT_SLOT_LIMIT
 
@@ -891,10 +1041,10 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
         cap_used = jnp.sum(counts)
 
     if packed_out:
-        return packed, n_active, cap_used
+        return packed, n_active, cap_used, None
     gbuf = _gbuffers_from_packed(packed, config, tile_h, tile_w, n_attrs,
-                                 n_views, nty_g1)
-    return gbuf, n_active, cap_used
+                                 n_views, nty_g1 if n_views > 1 else 0)
+    return gbuf, n_active, cap_used, None
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -986,6 +1136,7 @@ def render_frame(tri_verts, tri_norms, tri_colors,
 
     fast = post == "fast_lambert_u8"
     n_attrs = 3 if fast else binning.N_ATTRS
+    post_img = None
     if tri_verts.shape[0] == 0:   # empty scene → background
         zero = jnp.zeros((), jnp.int32)
         out = (packed_background(config, tile_h, tile_w, n_attrs)
@@ -1005,18 +1156,20 @@ def render_frame(tri_verts, tri_norms, tri_colors,
         rows, tx0, cx, ty0, cy, counts, _total = _plane_stage(
             tris_screen, attr_colors, attr_normals, active, config, tile_h,
             tile_w)
-        out, n_active, cap_used = _stage_b(
+        out, n_active, cap_used, post_img = _stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
             tile_h, tile_w, chunk, interpret, group, n_attrs, sign_cover,
-            packed_out=packed_out)
+            packed_out=packed_out, post=post, light=light)
     if tri_verts.shape[0] == 0:
         n_active = cap_used = zero
     if post == "none":
         return out, cap_used, n_active
+    if post_img is not None:   # grouped path: shaded/quantized in-kernel
+        return out, cap_used, n_active, post_img
     if packed_out:
-        # derive the post image straight from the packed stripes: XLA fuses
-        # the unpack into the shade/quantize and DCEs the unread channels —
-        # the planar stacks never materialize
+        # un-grouped fallback: derive the post image from the packed
+        # stripes — XLA fuses the unpack into the shade/quantize and DCEs
+        # the unread channels, so the planar stacks never materialize
         color, _z, normal = _gbuffers_from_packed(out, config, tile_h,
                                                   tile_w, n_attrs)
     else:
@@ -1059,7 +1212,7 @@ def rasterize(tris_screen: jnp.ndarray,
     p_cap = binning.capacity_bucket(int(total), chunk)
     ntx = -(-config.width // tile_w)
     nty = -(-config.height // tile_h)
-    out, _n_active, _used = _stage_b_jit(
+    out, _n_active, _used, _pimg = _stage_b_jit(
         rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
         grid_cap=ntx * nty, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
         interpret=interpret)
@@ -1068,4 +1221,4 @@ def rasterize(tris_screen: jnp.ndarray,
 
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group", "n_attrs", "sign_cover", "n_views", "packed_out"))
+    "group", "n_attrs", "sign_cover", "n_views", "packed_out", "post"))

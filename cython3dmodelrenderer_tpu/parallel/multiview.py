@@ -125,7 +125,8 @@ def _sweep(body, xs, unroll: int = 4):
 def _render_view_pallas(tri_verts, tri_norms, tri_colors,
                         config: RenderConfig, p_cap: int, chunk: int,
                         group: int, interpret: bool, light,
-                        fast: bool = False, packed_out: bool = False):
+                        fast: bool = False, packed_out: bool = False,
+                        post: str = "none"):
     """One posed view through the production Pallas pipeline.
 
     Shared by the single-chip turntable, view-sharded, and triangle-sharded
@@ -135,10 +136,12 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
     demand the static ``p_cap`` must cover (geometry was silently truncated
     iff ``cap_used > p_cap``).
 
-    ``packed_out=True`` instead returns (packed, n_attrs, cap_used) — the
-    raw packed stripe G-buffer for callers that only keep the final image
-    (the sweeps): they derive it via ``raster_pallas._gbuffers_from_packed``
-    inside the same fusion and the unread planar stacks never materialize.
+    ``packed_out=True`` instead returns (packed, n_attrs, cap_used,
+    post_img) — the raw packed G-buffer for callers that only keep the
+    final image (the sweeps). With ``post`` set, the grouped kernel
+    shades/quantizes in-kernel and ``post_img`` is the finished uint8
+    frame (None on the un-grouped degrade path — derive from ``packed``
+    via ``raster_pallas.unpack_gbuffers`` then).
     """
     from ..ops import binning, raster_pallas
 
@@ -160,12 +163,12 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
                                               binning.N_ATTRS)
     rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
         ts, attr_colors, attr_normals, act, config, th, tw)
-    out, _na, used = raster_pallas._stage_b(
+    out, _na, used, post_img = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
         th, tw, chunk, interpret, group, n_attrs=n_attrs,
-        packed_out=packed_out)
+        packed_out=packed_out, post=post, light=light)
     if packed_out:
-        return out, n_attrs, used
+        return out, n_attrs, used, post_img
     color, z, normal = out
     if fast or light is None:   # pre-shaded (Gouraud) or NoIllumination
         return color, z, normal, used
@@ -216,7 +219,7 @@ def _batched_view_spans(tri_verts, tri_norms, tri_colors, angles_b, shifts_b,
 def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
                              shifts_b, config: RenderConfig, p_cap: int,
                              chunk: int, group: int, interpret: bool, light,
-                             fast: bool = False):
+                             fast: bool = False, post: str = "f32"):
     """A batch of posed views through ONE grouped-kernel launch.
 
     The views stack vertically in tile-id space (VERDICT r2 task: "batch
@@ -225,7 +228,7 @@ def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
     ACROSS views, and the per-view fixed stage costs amortize. Each view's
     pixels stay BIT-IDENTICAL to its single-view render (plane evaluation
     is view-relative — ``raster_pallas._stage_b`` docs). Returns
-    (shaded (V, H, W, 3), cap_used).
+    (shaded (V, H, W, 3) — uint8 when ``post == "u8"``, else f32, cap_used).
     """
     from ..ops import binning
 
@@ -235,19 +238,28 @@ def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
     th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
     n_attrs = 3 if fast else binning.N_ATTRS
     n_views = int(angles_b.shape[0])
-    # packed out: the sweep keeps only the (shaded) image — derive it from
-    # the packed stripes so the unread planar stacks never materialize
-    packed, _na, used = raster_pallas._stage_b(
+    kpost = "none"
+    if post == "u8":   # shade/quantize in-kernel; only bytes leave
+        kpost = "u8" if (fast or light is None) else "lambert_u8"
+    packed, _na, used, post_img = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
         th, tw, chunk, interpret, group,
-        n_attrs=n_attrs, n_views=n_views, packed_out=True)
+        n_attrs=n_attrs, n_views=n_views, packed_out=True,
+        post=kpost, light=light)
+    if post_img is not None:
+        return post_img, used
     nty = -(-config.height // th)
-    color, _z, normal = raster_pallas._gbuffers_from_packed(
-        packed, config, th, tw, n_attrs, n_views=n_views,
-        rows_per_view=raster_pallas.view_row_stride(nty, group))
+    color, _z, normal = raster_pallas.unpack_gbuffers(
+        packed, config, th, tw, n_attrs=n_attrs, n_views=n_views,
+        rows_per_view=raster_pallas.view_row_stride(nty, group), group=group)
     if fast or light is None:   # pre-shaded (Gouraud) or NoIllumination
+        if post == "u8":
+            color = color.astype(jnp.uint8)
         return color, used
-    return lambert_shade(color, light=light, n_buffer=normal), used
+    color = lambert_shade(color, light=light, n_buffer=normal)
+    if post == "u8":
+        color = color.astype(jnp.uint8)
+    return color, used
 
 
 def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
@@ -263,9 +275,7 @@ def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
         a_b, s_b = xs
         color, used = _render_viewbatch_pallas(
             tri_verts, tri_norms, tri_colors, a_b, s_b, config, p_cap,
-            chunk, group, interpret, light, fast=fast)
-        if post == "u8":
-            color = color.astype(jnp.uint8)
+            chunk, group, interpret, light, fast=fast, post=post)
         return color, used
 
     # scan bodies are view_batch x bigger — scale the unroll down
@@ -290,14 +300,19 @@ def _run_sweep(tri_verts, tri_norms, tri_colors, angles, shifts,
     def one(pose):
         angle3, shift3 = pose
         v, n = _pose_triangles(tri_verts, tri_norms, angle3, shift3)
-        # packed out: only the (shaded) image is kept — unpack fuses into
-        # the shade/quantize, the unread planar stacks never materialize
-        packed, n_attrs, used = _render_view_pallas(
+        # u8 sweeps shade/quantize IN-KERNEL (grouped path): the frame
+        # arrives display-ready and only bytes leave the kernel
+        kpost = "none"
+        if post == "u8":
+            kpost = "u8" if (fast_shade or light is None) else "lambert_u8"
+        packed, n_attrs, used, post_img = _render_view_pallas(
             v, n, tri_colors, config, p_cap, chunk, group, interpret,
-            light, fast=fast_shade, packed_out=True)
+            light, fast=fast_shade, packed_out=True, post=kpost)
+        if post_img is not None:
+            return post_img, used
         th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
-        color, _z, normal = raster_pallas._gbuffers_from_packed(
-            packed, config, th, tw, n_attrs)
+        color, _z, normal = raster_pallas.unpack_gbuffers(
+            packed, config, th, tw, n_attrs=n_attrs, group=group)
         if not fast_shade and light is not None:
             color = lambert_shade(color, light=light, n_buffer=normal)
         if post == "u8":

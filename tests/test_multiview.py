@@ -267,7 +267,7 @@ def test_view_batched_ungrouped_fallback():
         tv, tn, tc, angles, shifts, CONFIG, group=1)
     p_cap = binning.capacity_bucket(int(jnp.sum(counts)), 128)
     th, tw = rp.TILE_H, rp.TILE_W
-    (color, z, _n), _na, used = rp._stage_b_jit(
+    (color, z, _n), _na, used, _pi = rp._stage_b_jit(
         rows, tx0, cx, ty0, cy, counts, config=CONFIG, p_cap=p_cap,
         grid_cap=0, tile_h=th, tile_w=tw, chunk=128, interpret=True,
         group=1, n_views=2)

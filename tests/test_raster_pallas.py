@@ -113,7 +113,7 @@ def test_grouped_kernel_dense_scene():
     slots = int(rp.grouped_slot_total(ts, active, config,
                                   tile_h=8, tile_w=128, group=4))
     p_cap = binning.capacity_bucket(slots, 128)
-    pal, _na, used = rp._stage_b_jit(rows, tx0, cx, ty0, cy, counts,
+    pal, _na, used, _pi = rp._stage_b_jit(rows, tx0, cx, ty0, cy, counts,
                                      config=config, p_cap=p_cap, grid_cap=0,
                                      tile_h=8, tile_w=128, chunk=128,
                                      interpret=True, group=4)
@@ -144,7 +144,7 @@ def test_odd_image_sizes_grouped():
         slots = int(rp.grouped_slot_total(ts, active, config,
                                   tile_h=8, tile_w=128, group=4))
         p_cap = binning.capacity_bucket(slots, 128)
-        pal, _na, _used = rp._stage_b_jit(rows, tx0, cx, ty0, cy, counts,
+        pal, _na, _used, _pi = rp._stage_b_jit(rows, tx0, cx, ty0, cy, counts,
                                           config=config, p_cap=p_cap,
                                           grid_cap=0, tile_h=8, tile_w=128,
                                           chunk=128, interpret=True, group=4)
@@ -204,7 +204,7 @@ def test_fuzz_parity_many_seeds():
                 p_cap = binning.capacity_bucket(
                     int(rp.grouped_slot_total(ts, active, config, tile_h=8,
                                               tile_w=128, group=group)), 128)
-            pal, _na, _u = rp._stage_b_jit(
+            pal, _na, _u, _pi = rp._stage_b_jit(
                 rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
                 grid_cap=0, tile_h=8, tile_w=128, chunk=128, interpret=True,
                 group=group)
@@ -392,8 +392,9 @@ def test_binsort_grouped_overflow_clamps_and_unroll_tail():
     # ample capacity: every (triangle, tile) pair must be placed exactly
     # once in its tile's stripe slots (count-sorted composition: tile at
     # sorted position k lives in group k//group, stripe k%group), in
-    # ascending triangle order under the LANE-BLOCK layout (stripe lane r
-    # holds the contiguous rank block [r*B, (r+1)*B), B = group chunks)
+    # ascending triangle order under the STRIDED lane-class layout (stripe
+    # s owns lanes {s, s+group, ...}; class-lane m holds the contiguous
+    # rank block [m*B, (m+1)*B), B = group chunks)
     order, gstarts, gchunks, stids, sstripes, tile_counts, total, _ = \
         bin_sort_grouped(tx0, cx, ty0, cy, ntx=ntx, nty=nty, slot_cap=ample,
                          group=group, sub=sub, interpret=True)
@@ -410,10 +411,10 @@ def test_binsort_grouped_overflow_clamps_and_unroll_tail():
                 if (tx0n[tri] <= txv < tx0n[tri] + cxn[tri]
                     and ty0n[tri] <= tyv < ty0n[tri] + cyn[tri])]
         k = sortpos[tile]
-        base = gstarts[k // group] + (k % group) * sub
+        base = gstarts[k // group] + (k % group)
         b = max(int((gstarts[k // group + 1] - gstarts[k // group])
                     // (group * sub)), 1)
-        got = [order[base + (r % b) * (group * sub) + r // b]
+        got = [order[base + (r % b) * (group * sub) + (r // b) * group]
                for r in range(tile_counts[tile])]
         assert got == want, f"tile {tile}: {got} != {want}"
     # count-sorted composition: group chunk demand must equal its largest
@@ -527,7 +528,7 @@ def test_sign_cover_fold():
                 int(rp.grouped_slot_total(ts, active, config, tile_h=8,
                                           tile_w=128, group=group)), 128)
         for sc in (False, True):
-            outs[(group, sc)], _na, _u = rp._stage_b_jit(
+            outs[(group, sc)], _na, _u, _pi = rp._stage_b_jit(
                 rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
                 grid_cap=0, tile_h=8, tile_w=128, chunk=128, interpret=True,
                 group=group, sign_cover=sc)
@@ -579,7 +580,7 @@ def test_grouped_degrades_past_packing_limits():
     p_cap = binning.capacity_bucket(int(total), 128)
     assert not grouped_limits_ok(t_big, p_cap, 1, 8)   # t over budget
 
-    pal, _na, _used = rp._stage_b_jit(
+    pal, _na, _used, _pi = rp._stage_b_jit(
         rows, tx0, cx, ty0, cy, counts, config=config, p_cap=p_cap,
         grid_cap=0, tile_h=8, tile_w=64, chunk=128, interpret=True, group=4)
 
@@ -636,22 +637,22 @@ def test_sorted_gather_binning_matches_scalar_placement():
     np.testing.assert_array_equal(np.asarray(sstripes), np.asarray(sstripes2))
     assert int(tot) == int(tot2) and int(na) == int(na2)
 
-    chans_old = rp._raster_tiles_grouped(
+    chans_old, _u8o = rp._raster_tiles_grouped(
         binned_old, gstarts, gchunks, stids, sstripes, ntx, nty_g,
         th, tw, chunk, group, config.z_init, True)
-    chans_new = rp._raster_tiles_grouped(
+    chans_new, _u8n = rp._raster_tiles_grouped(
         binned_new, gstarts2, gchunks2, stids2, sstripes2, ntx, nty_g,
         th, tw, chunk, group, config.z_init, True)
-    for c_old, c_new in zip(chans_old, chans_new):
-        np.testing.assert_array_equal(np.asarray(c_old), np.asarray(c_new))
+    np.testing.assert_array_equal(np.asarray(chans_old),
+                                  np.asarray(chans_new))
 
 
 def _check_lane_block_layout(rng, ntx, nty, group, sub, t):
     """Validate bin_gather_grouped's interleaved slot layout against an
-    independent numpy reconstruction of the lane-block rank rule: slot
-    (chunk j of group g, lane l) must hold stripe ``l // sub``'s pair of
-    rank ``(l % sub) * B + j`` (B = the group's chunk count), pairs per
-    tile enumerated in triangle order.
+    independent numpy reconstruction of the STRIDED lane-class rank rule:
+    slot (chunk j of group g, lane l) must hold stripe ``l % group``'s pair
+    of rank ``(l // group) * B + j`` (B = the group's chunk count), pairs
+    per tile enumerated in triangle order.
     """
     from cython3dmodelrenderer_tpu.ops import binsort_pallas
 
@@ -700,7 +701,7 @@ def _check_lane_block_layout(rng, ntx, nty, group, sub, t):
                 for r_in in range(sub):
                     rank = r_in * b + j
                     if rank < len(plist):
-                        slot = (c0 + j) * 128 + s * sub + r_in
+                        slot = (c0 + j) * 128 + s + r_in * group
                         np.testing.assert_array_equal(
                             binned[slot], rows[plist[rank]])
                         n_checked += 1

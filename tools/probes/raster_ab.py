@@ -86,19 +86,19 @@ calib = timeit("calibration (empty chain)",
 
 for nbuf in (2, 3, 4, 6, 8):
     def s_raster(x, i, nbuf=nbuf):
-        chans = raster_pallas._raster_tiles_grouped(
+        chans, _u8 = raster_pallas._raster_tiles_grouped(
             binned + x * EPS, gstarts, gchunks, stids, sstripes, ntx,
             nty_g, th, tw, chunk, group, config.z_init, False, nbuf=nbuf)
-        return x + chans[3][0, 0] * EPS
+        return x + chans[0, 0, 0, 0] * EPS
 
     timeit(f"raster grouped nbuf={nbuf}", chain(s_raster), calib)
 
 
 def s_sign(x, i):
-    chans = raster_pallas._raster_tiles_grouped(
+    chans, _u8 = raster_pallas._raster_tiles_grouped(
         binned + x * EPS, gstarts, gchunks, stids, sstripes, ntx,
         nty_g, th, tw, chunk, group, config.z_init, False, sign_cover=True)
-    return x + chans[3][0, 0] * EPS
+    return x + chans[0, 0, 0, 0] * EPS
 
 timeit("raster sign_cover (ALU -190/chunk)", chain(s_sign), calib)
 
@@ -111,9 +111,9 @@ ru3 = raster_pallas._rows_used(3)
 
 
 def s_fast(x, i):
-    chans = raster_pallas._raster_tiles_grouped(
+    chans, _u8 = raster_pallas._raster_tiles_grouped(
         binned3 + x * EPS, gstarts3, gchunks3, stids3, sstripes3, ntx,
         nty_g, th, tw, chunk, group, config.z_init, False, n_attrs=3)
-    return x + chans[3][0, 0] * EPS
+    return x + chans[0, 0, 0, 0] * EPS
 
 timeit("raster fast rows (ALU -396, DMA -26%)", chain(s_fast), calib)

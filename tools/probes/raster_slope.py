@@ -67,8 +67,9 @@ ru = raster_pallas._ROWS_USED
     slot_cap=p_cap, group=group, sub=sub)
 n_chunks = int(jnp.sum(gchunks))
 n_stripes = int(jnp.sum(tile_counts > 0))
+n_negroups = int(jnp.sum(gchunks > 0))
 print(f"group {group}  p_cap {p_cap}  chunks {n_chunks} "
-      f"nonempty stripes {n_stripes}")
+      f"nonempty stripes {n_stripes} nonempty groups {n_negroups}")
 
 EPS = jnp.float32(1e-30)
 
@@ -99,20 +100,20 @@ print(f"calibration {calib:7.3f} ms")
 
 def raster_ms(body_reps: int, epi_reps: int) -> float:
     def s(x, i):
-        packed = raster_pallas._raster_tiles_grouped(
+        packed, _u8 = raster_pallas._raster_tiles_grouped(
             binned + x * EPS, gstarts, gchunks, stids, sstripes, ntx,
             nty_g, th, tw, chunk, group, config.z_init, False,
             probe_reps=(body_reps, epi_reps))
-        return x + packed[0, 0, 0] * EPS
+        return x + packed[0, 0, 0, 0] * EPS
     return timeit(chain(s)) - calib
 
 
 if check:
-    ref = raster_pallas._raster_tiles_grouped(
+    ref, _ = raster_pallas._raster_tiles_grouped(
         binned, gstarts, gchunks, stids, sstripes, ntx, nty_g, th, tw,
         chunk, group, config.z_init, False)
     for reps in ((2, 1), (1, 2), (3, 3)):
-        got = raster_pallas._raster_tiles_grouped(
+        got, _ = raster_pallas._raster_tiles_grouped(
             binned, gstarts, gchunks, stids, sstripes, ntx, nty_g, th, tw,
             chunk, group, config.z_init, False, probe_reps=reps)
         same = np.array_equal(np.asarray(got), np.asarray(ref))
@@ -134,7 +135,7 @@ print(f"chunk-body ALU : {bslope:7.3f} ms/frame "
       f"({bslope / max(n_chunks, 1) * 1e3:6.2f} us/chunk, intercept "
       f"{bint:6.3f})")
 print(f"epilogue       : {eslope:7.3f} ms/frame "
-      f"({eslope / max(n_stripes, 1) * 1e3:6.2f} us/stripe, intercept "
+      f"({eslope / max(n_negroups, 1) * 1e3:6.2f} us/group, intercept "
       f"{eint:6.3f})")
 print(f"fixed overhead : {base - bslope - eslope:7.3f} ms "
       f"(kernel - body - epi)")

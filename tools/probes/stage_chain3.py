@@ -143,10 +143,10 @@ timeit("  one (p_cap, 35) row gather", chain(s_rowgather), calib)
 
 
 def s_raster(x, i):
-    packed = raster_pallas._raster_tiles_grouped(
+    packed, _u8 = raster_pallas._raster_tiles_grouped(
         binned + x * EPS, gstarts, gchunks, stids, sstripes, ntx,
         nty_g, th, tw, chunk, group, config.z_init, False)
-    return x + packed[0, 0, 0] * EPS
+    return x + packed[0, 0, 0, 0] * EPS
 
 timeit("raster grouped (kernel, packed out)", chain(s_raster), calib)
 

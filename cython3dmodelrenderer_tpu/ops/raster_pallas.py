@@ -586,7 +586,9 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                 u8v = jnp.where(pcls == 0, cb,
                                 jnp.where(pcls == 1, cg,
                                           jnp.where(pcls == 2, cr, 0.0)))
-                u8_ref[0] = u8v.astype(jnp.uint8)
+                # Mosaic has no f32->u8 convert; go through i32 (identical
+                # truncation for the in-range [0, 255] color values)
+                u8_ref[0] = u8v.astype(jnp.int32).astype(jnp.uint8)
 
         if probe_reps[1] == 1:
             epilogue()

@@ -35,6 +35,10 @@ import numpy as np
 from .config import RenderConfig
 from .models.buffer import Buffer
 from .ops import raster_ref
+
+# sentinel: a hot post-mode frame whose f32 G-buffer output was skipped
+# (emit_gbuf=False); getters re-render the retained inputs on demand
+_DEFERRED = object()
 from .ops.projection import project_to_screen, visibility_masks
 
 
@@ -371,11 +375,25 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
         Bit-exact: ``unpack_gbuffers`` is the same unpack the eager path
         fused into its dispatch; the packed buffer IS the G-buffer data.
+        A ``_DEFERRED`` frame (hot post-mode dispatch that skipped the f32
+        G-buffer output entirely) first re-renders the retained newest
+        inputs with ``emit_gbuf=True`` — bit-identical, the kernel is
+        deterministic; animation loops that never read G-buffers never pay
+        either cost.
         """
         if self._packed is None:
             return
         from .ops import raster_pallas
 
+        if self._packed is _DEFERRED:
+            assert self._latest is not None, "deferred frame without inputs"
+            tv, tn, tc, _cap = self._latest
+            post, light = self._post_mode   # same mode → same n_attrs/planes
+            res = raster_pallas.render_frame(
+                tv, tn, tc, self.config, self._p_cap, 0, group=self._group,
+                interpret=self._interpret, post=post, light=light,
+                sign_cover=self.sign_cover, packed_out=True, emit_gbuf=True)
+            self._packed = res[0]
         self._color, self._z, self._normals = raster_pallas.unpack_gbuffers(
             self._packed, self.config, n_attrs=self._packed_attrs,
             group=self._group)
@@ -385,16 +403,22 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         from .ops import raster_pallas
 
         post, light = self._post_mode
+        # post-mode frames skip the f32 G-buffer output entirely (~64 MB
+        # less HBM write traffic at 1024²): the deliverable is the post
+        # image; G-buffers re-render lazily on getter access (_materialize)
         res = raster_pallas.render_frame(
             tri_verts, tri_norms, tri_colors, self.config,
             self._p_cap, 0, group=self._group,
             interpret=self._interpret, post=post, light=light,
-            sign_cover=self.sign_cover, packed_out=True)
+            sign_cover=self.sign_cover, packed_out=True,
+            emit_gbuf=(post == "none"))
         if post == "none":
             packed, self._last_total, self._last_active = res
         else:
             (packed, self._last_total, self._last_active,
              self._post_image) = res
+            if packed is None:   # grouped hot path: G-buffer deferred
+                packed = _DEFERRED
         self._packed = packed
         self._packed_attrs = 3 if post == "fast_lambert_u8" else 6
         self._color = self._z = self._normals = None

@@ -290,7 +290,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                          sign_cover: bool = False, tiles_per_view: int = 0,
                          nbuf: int = 2,
                          probe_reps: Tuple[int, int] = (1, 1),
-                         post: str = None):
+                         post: str = None, emit_gbuf: bool = True):
     """Grouped kernel: one grid step = ``group`` COUNT-SORTED tiles.
 
     Chunks interleave the tiles as STRIDED lane classes (stripe s owns
@@ -353,13 +353,16 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
     sub = chunk // group
     n_out = _out_stripes(n_attrs)
 
+    assert emit_gbuf or post is not None, \
+        "a frame must emit at least one of (G-buffer, post image)"
+
     def kernel(gstarts_ref, gchunks_ref, stids_ref, sstripes_ref, light_ref,
                binned_ref, *out_and_scratch):
-        if post is None:
-            out_ref, buf, zacc, attracc, sems, pref = out_and_scratch
-            u8_ref = None
-        else:
-            out_ref, u8_ref, buf, zacc, attracc, sems, pref = out_and_scratch
+        outs, scratch = (out_and_scratch[:int(emit_gbuf) + int(post is not None)],
+                         out_and_scratch[int(emit_gbuf) + int(post is not None):])
+        out_ref = outs[0] if emit_gbuf else None
+        u8_ref = outs[-1] if post is not None else None
+        buf, zacc, attracc, sems, pref = scratch
         i = pl.program_id(0)
         n = pl.num_programs(0)
         start = gstarts_ref[i]
@@ -377,9 +380,10 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
         # z_init in the z plane's lane class, zero elsewhere
         @pl.when(nchunks == 0)
         def _():
-            pcls = jax.lax.broadcasted_iota(
-                jnp.int32, (tile_h, tile_w, chunk), 2) // group
-            out_ref[0] = jnp.where(pcls == 3, jnp.float32(z_init), 0.0)
+            if emit_gbuf:
+                pcls = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, tile_w, chunk), 2) // group
+                out_ref[0] = jnp.where(pcls == 3, jnp.float32(z_init), 0.0)
             if post is not None:
                 u8_ref[0] = jnp.zeros((tile_h, tile_w, chunk), jnp.uint8)
 
@@ -560,15 +564,16 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                 # one-hot sum == the winner's value, exactly (adding
                 # zeros; a -0.0 attr flips to +0.0 — numerically equal)
                 planes.append(jnp.where(has, segred(aw, jnp.add), 0.0))
-            zt_out = jnp.where(has, ztb, jnp.float32(z_init))
-            order = [planes[0], planes[1], planes[2], zt_out]
-            if n_attrs == binning.N_ATTRS:
-                order += [planes[3], planes[4], planes[5],
-                          jnp.zeros_like(zt_out)]
-            gout = jnp.zeros_like(zf)
-            for p, t in enumerate(order):
-                gout = jnp.where(pcls == p, t, gout)
-            out_ref[0] = gout
+            if emit_gbuf:
+                zt_out = jnp.where(has, ztb, jnp.float32(z_init))
+                order = [planes[0], planes[1], planes[2], zt_out]
+                if n_attrs == binning.N_ATTRS:
+                    order += [planes[3], planes[4], planes[5],
+                              jnp.zeros_like(zt_out)]
+                gout = jnp.zeros_like(zf)
+                for p, t in enumerate(order):
+                    gout = jnp.where(pcls == p, t, gout)
+                out_ref[0] = gout
             if post is not None:
                 if post == "lambert_u8":
                     # in-kernel Lambert (ops.illumination.lambert_shade):
@@ -610,7 +615,8 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
                           tiles_per_view: int = 0,
                           nbuf: int = 2,
                           probe_reps: Tuple[int, int] = (1, 1),
-                          post: str = None, light=None):
+                          post: str = None, light=None,
+                          emit_gbuf: bool = True):
     """Dispatch the grouped kernel.
 
     Returns the GROUP-PACKED G-buffer ``(n_groups, tile_h, tile_w, chunk)``
@@ -626,12 +632,17 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
     rows_used = _rows_used(n_attrs)
     kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init,
                                   n_attrs, sign_cover, tiles_per_view, nbuf,
-                                  probe_reps, post)
+                                  probe_reps, post, emit_gbuf)
     blk = (1, tile_h, tile_w, chunk)
-    out_specs = [pl.BlockSpec(blk, lambda i, *_: (i, 0, 0, 0))]
-    out_shapes = [jax.ShapeDtypeStruct((n_groups, tile_h, tile_w, chunk),
-                                       jnp.float32)]
+    out_specs = []
+    out_shapes = []
+    if emit_gbuf:
+        out_specs.append(pl.BlockSpec(blk, lambda i, *_: (i, 0, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (n_groups, tile_h, tile_w, chunk), jnp.float32))
     if post is not None:
+        # hot-path frames (post set, G-buffer deferred) emit ONLY this
+        # byte-sized output — the ~64 MB f32 block write drops out
         out_specs.append(pl.BlockSpec(blk, lambda i, *_: (i, 0, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct(
             (n_groups, tile_h, tile_w, chunk), jnp.uint8))
@@ -668,7 +679,8 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(gstarts, gchunks, stids, sstripes, light_arr, binned_t)
-    return out if post is not None else (out[0], None)
+    return ((out[0] if emit_gbuf else None),
+            (out[-1] if post is not None else None))
 
 
 def _raster_tiles(binned, tile_starts, tile_counts,
@@ -923,7 +935,8 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
              tile_h: int, tile_w: int, chunk: int, interpret: bool,
              group: int = 1, n_attrs: int = binning.N_ATTRS,
              sign_cover: bool = False, n_views: int = 1,
-             packed_out: bool = False, post: str = "none", light=None):
+             packed_out: bool = False, post: str = "none", light=None,
+             emit_gbuf: bool = True):
     """Bin → Pallas raster.
 
     Returns (out, n_active, cap_used, post_img) where ``cap_used`` is
@@ -1005,7 +1018,8 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             tile_h, tile_w, chunk, group, config.z_init, interpret, n_attrs,
             sign_cover,
             tiles_per_view=ntx * nty_g1 if n_views > 1 else 0,
-            post=kpost, light=light)
+            post=kpost, light=light,
+            emit_gbuf=emit_gbuf or kpost is None or not packed_out)
         cap_used = total_slots
         rows_pv = nty_g1 if n_views > 1 else 0
         post_img = None
@@ -1013,7 +1027,8 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             post_img = assemble_u8_image(u8blocks, stids, config, tile_h,
                                          tile_w, group, n_views, rows_pv)
         if packed_out:
-            return (gpacked, stids), n_active, cap_used, post_img
+            packed = (gpacked, stids) if gpacked is not None else None
+            return packed, n_active, cap_used, post_img
         gbuf = _gbuffers_from_grouped(gpacked, stids, config, tile_h,
                                       tile_w, n_attrs, group, n_views,
                                       rows_pv)
@@ -1083,13 +1098,13 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
 
 @functools.partial(jax.jit, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group", "post", "sign_cover", "packed_out"))
+    "group", "post", "sign_cover", "packed_out", "emit_gbuf"))
 def render_frame(tri_verts, tri_norms, tri_colors,
                  config: RenderConfig, p_cap: int, grid_cap: int,
                  tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 128,
                  interpret: bool = False, group: int = 1,
                  post: str = "none", light=None, sign_cover: bool = False,
-                 packed_out: bool = False):
+                 packed_out: bool = False, emit_gbuf: bool = True):
     """Whole frame as ONE dispatch: geometry → bin → raster [→ shade].
 
     Per-dispatch overhead matters (over a remote-device tunnel it dominates),
@@ -1132,6 +1147,14 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     chunk-loop ALU — but pixels whose λ evaluates to -0.0
     (exactly-on-edge centers) flip, so it is NOT reference-exact and is
     off by default.
+
+    ``emit_gbuf=False`` (legal only with ``packed_out=True`` and a ``post``
+    mode, grouped path): the kernel skips the f32 G-buffer output entirely
+    — the frame's only product is the post image (~64 MB less HBM write
+    traffic per 1024² frame). The packed slot of the return is then None;
+    callers needing G-buffers later re-render with ``emit_gbuf=True``
+    (bit-identical — the kernel is deterministic), which is what
+    ``AdvancedPixelBufferFiller`` does lazily on getter access.
     """
     from .illumination import lambert_shade
     from .projection import project_to_screen, visibility_masks
@@ -1161,7 +1184,8 @@ def render_frame(tri_verts, tri_norms, tri_colors,
         out, n_active, cap_used, post_img = _stage_b(
             rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
             tile_h, tile_w, chunk, interpret, group, n_attrs, sign_cover,
-            packed_out=packed_out, post=post, light=light)
+            packed_out=packed_out, post=post, light=light,
+            emit_gbuf=emit_gbuf)
     if tri_verts.shape[0] == 0:
         n_active = cap_used = zero
     if post == "none":
@@ -1223,4 +1247,5 @@ def rasterize(tris_screen: jnp.ndarray,
 
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group", "n_attrs", "sign_cover", "n_views", "packed_out", "post"))
+    "group", "n_attrs", "sign_cover", "n_views", "packed_out", "post",
+    "emit_gbuf"))

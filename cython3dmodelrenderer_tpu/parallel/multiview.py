@@ -166,7 +166,8 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
     out, _na, used, post_img = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
         th, tw, chunk, interpret, group, n_attrs=n_attrs,
-        packed_out=packed_out, post=post, light=light)
+        packed_out=packed_out, post=post, light=light,
+        emit_gbuf=(post == "none"))
     if packed_out:
         return out, n_attrs, used, post_img
     color, z, normal = out
@@ -245,7 +246,7 @@ def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
         th, tw, chunk, interpret, group,
         n_attrs=n_attrs, n_views=n_views, packed_out=True,
-        post=kpost, light=light)
+        post=kpost, light=light, emit_gbuf=(kpost == "none"))
     if post_img is not None:
         return post_img, used
     nty = -(-config.height // th)

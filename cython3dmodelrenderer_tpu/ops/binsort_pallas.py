@@ -203,9 +203,12 @@ def _expand_pairs(tx0, cx, ty0, cy, ntx: int, slot_cap: int):
     either the 17b triangle or 14b tile budget overflows int32 to negative
     and silently breaks the cummax fill-forward; re-derive the bound first.
 
-    Returns (tri_p, tile_p, n_pairs): slot i < n_pairs holds the i-th
-    pair's triangle id and tile id; slots >= n_pairs hold stale values the
-    caller must mask with its own sentinel.
+    Returns (tri_p, tile_p, n_pairs, total_pairs): slot i < n_pairs holds
+    the i-th pair's triangle id and tile id; slots >= n_pairs hold stale
+    values the caller must mask with its own sentinel. ``total_pairs`` is
+    the UNCLAMPED demand (> slot_cap signals expansion overflow — callers
+    deriving capacity demand from the surviving pairs must fold it in, or
+    a clamped expansion would silently under-report).
     """
     t = tx0.shape[0]
     act = (cx > 0) & (cy > 0)
@@ -227,7 +230,7 @@ def _expand_pairs(tx0, cx, ty0, cy, ntx: int, slot_cap: int):
     dy = k // jnp.maximum(cx_p, 1)
     dx = k - dy * cx_p
     tile_p = (b_p & ((1 << 14) - 1)) + dy * ntx + dx
-    return b_p >> 14, tile_p, n_pairs
+    return b_p >> 14, tile_p, n_pairs, total_pairs
 
 
 def _clamp_group_chunks(gchunks, allowed: int):
@@ -254,6 +257,40 @@ def _clamp_group_chunks(gchunks, allowed: int):
     gchunks = cum_c - start_c
     gstarts = 128 * jnp.concatenate([start_c, cum_c[-1:]])
     return gchunks, gstarts, start_c, total_slots
+
+
+def _compose_groups(tile_counts, n_tiles: int, group: int, sub: int,
+                    interpret: bool = False):
+    """Count-sorted group composition from per-tile pair counts.
+
+    The exact code both binners must share (their tables are compared
+    bit-for-bit by the equivalence oracle): sort tiles by descending stripe
+    demand ``ceil(count/sub)``, ascending tile id within equal counts, and
+    take consecutive ``group``-tuples. Returns (stids, sstripes, gchunks).
+    """
+    n_sorted = -(-n_tiles // group) * group
+    stripes = (tile_counts + (sub - 1)) // sub               # (n_tiles,)
+    # Packed single-operand sort: descending stripe count, ascending tile id
+    # within equal counts (deterministic). stripes ≤ slot_cap < 2^17 for any
+    # sub ≥ 1, and tile < 2^14; (inv << 14) | tile reaches exactly INT32_MAX
+    # at those limits — zero headroom, same exact-fit as the pair packing
+    # (re-derive the bound before widening either field).
+    inv = ((1 << 17) - 1) - jnp.minimum(stripes, (1 << 17) - 1)
+    key = (inv << 14) | jnp.arange(n_tiles, dtype=jnp.int32)
+    # Pallas bitonic: XLA's lax.sort costs a measured ~0.11 ms even on the
+    # 2k tile keys (vs ~0.035 ms); falls back to lax.sort off-TPU.
+    from .sort_pallas import bitonic_sort_i32
+
+    skey = bitonic_sort_i32(key, interpret=interpret)
+    stids = (skey & ((1 << 14) - 1)).astype(jnp.int32)
+    sstripes = ((1 << 17) - 1) - (skey >> 14)
+    if n_sorted != n_tiles:                                  # sentinel pad
+        stids = jnp.concatenate(
+            [stids, jnp.full((n_sorted - n_tiles,), n_tiles, jnp.int32)])
+        sstripes = jnp.concatenate(
+            [sstripes, jnp.zeros((n_sorted - n_tiles,), jnp.int32)])
+    gchunks = sstripes[::group]       # first of each tuple = the max
+    return stids, sstripes, gchunks
 
 
 def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
@@ -289,28 +326,8 @@ def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
     counts2d = jnp.matmul(my.T, mx, precision="highest")     # (nty, ntx)
     tile_counts = counts2d.reshape(-1).astype(jnp.int32)
     n_tiles = ntx * nty
-    n_sorted = -(-n_tiles // group) * group
-    stripes = (tile_counts + (sub - 1)) // sub               # (n_tiles,)
-    # Packed single-operand sort: descending stripe count, ascending tile id
-    # within equal counts (deterministic). stripes ≤ slot_cap < 2^17 for any
-    # sub ≥ 1, and tile < 2^14; (inv << 14) | tile reaches exactly INT32_MAX
-    # at those limits — zero headroom, same exact-fit as the pair packing
-    # below (re-derive the bound before widening either field).
-    inv = ((1 << 17) - 1) - jnp.minimum(stripes, (1 << 17) - 1)
-    key = (inv << 14) | jnp.arange(n_tiles, dtype=jnp.int32)
-    # Pallas bitonic: XLA's lax.sort costs a measured ~0.11 ms even on the
-    # 2k tile keys (vs ~0.035 ms); falls back to lax.sort off-TPU.
-    from .sort_pallas import bitonic_sort_i32
-
-    skey = bitonic_sort_i32(key, interpret=interpret)
-    stids = (skey & ((1 << 14) - 1)).astype(jnp.int32)
-    sstripes = ((1 << 17) - 1) - (skey >> 14)
-    if n_sorted != n_tiles:                                  # sentinel pad
-        stids = jnp.concatenate(
-            [stids, jnp.full((n_sorted - n_tiles,), n_tiles, jnp.int32)])
-        sstripes = jnp.concatenate(
-            [sstripes, jnp.zeros((n_sorted - n_tiles,), jnp.int32)])
-    gchunks = sstripes[::group]       # first of each tuple = the max
+    stids, sstripes, gchunks = _compose_groups(tile_counts, n_tiles, group,
+                                               sub, interpret=interpret)
     return tile_counts, stids, sstripes, gchunks
 
 
@@ -365,7 +382,8 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
     # kernel is left with one branchless cursor-bump emit per pair.
     assert t < (1 << 17), "pair packing supports up to 2^17 triangles"
     assert slot_cap < (1 << 17), "pair packing supports up to 2^17 slots"
-    tri_p, tile_p, n_pairs = _expand_pairs(tx0, cx, ty0, cy, ntx, slot_cap)
+    tri_p, tile_p, n_pairs, _total = _expand_pairs(tx0, cx, ty0, cy, ntx,
+                                                   slot_cap)
     pairs = (tri_p << 14) | tile_p               # [0:14] tile, [14:] triangle
     # tail past the true pair count → sentinel pairs targeting the virtual
     # tile n_tiles (bound 0, never stored); lets the kernel's unrolled loop
@@ -402,10 +420,12 @@ def bin_sort_grouped(tx0, cx, ty0, cy, ntx: int, nty: int, slot_cap: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ntx", "nty", "slot_cap", "group", "sub", "interpret"))
+    "ntx", "nty", "slot_cap", "group", "sub", "interpret", "tile_h",
+    "tile_w", "tiles_per_view"))
 def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
                        slot_cap: int, group: int = 8, sub: int = 16,
-                       interpret: bool = False):
+                       interpret: bool = False, tile_h: int = 0,
+                       tile_w: int = 0, tiles_per_view: int = 0):
     """Sorted-gather binning: bitonic key sort + vectorized interleave.
 
     Produces the same group-interleaved binned-row buffer as
@@ -460,23 +480,78 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
     assert slot_cap < (1 << 17), "pair packing supports up to 2^17 slots"
     n_chunks = slot_cap // chunk
 
-    tile_counts, stids, sstripes, gchunks = group_histogram(
-        tx0, cx, ty0, cy, ntx, nty, group, sub, interpret=interpret)
-    gchunks, gstarts, start_c, total_slots = _clamp_group_chunks(
-        gchunks, n_chunks)
-    n_groups = int(gchunks.shape[0])
-
     # ---- pair expansion (shared with bin_sort_grouped) packed as
     # (tile << 17) | tri for the single-operand stable sort; reaches
     # exactly INT32_MAX at the asserted limits — zero headroom, same exact
     # fit as bin_sort_grouped's packing
-    tri_p, tile_p, n_pairs = _expand_pairs(tx0, cx, ty0, cy, ntx, slot_cap)
-    keys = (tile_p << 17) | tri_p
+    tri_p, tile_p, n_pairs, total_pairs = _expand_pairs(tx0, cx, ty0, cy,
+                                                        ntx, slot_cap)
     idx = jnp.arange(slot_cap, dtype=jnp.int32)
-    keys = jnp.where(idx < n_pairs, keys, jnp.int32(n_tiles) << 17)
+    valid = idx < n_pairs
+    if tile_h and tile_w:
+        # CONSERVATIVE PER-PAIR TRIVIAL-REJECT: a triangle's bbox overlaps
+        # many tiles its edges never enter (thin/diagonal triangles). For
+        # each pair, evaluate each edge function's MAXIMUM over the tile's
+        # integer pixel grid — the affine's most-inside corner, chosen per
+        # coefficient sign, with the kernel's own association
+        # ``A·x + (B·y + C)`` (f32 rounding is monotonic per op, so the
+        # corner value bounds every interior evaluation) — and drop pairs
+        # where any λmax < 0: provably no pixel passes the λ≥0 coverage
+        # rule. EXACTNESS: reject only provable misses; a rejected row
+        # re-entering the tile via chunk-tail clamping still fails the
+        # per-pixel coverage test in the kernel (the same λ, evaluated at
+        # real pixels), so rendered output is bit-identical. NaN/degenerate
+        # coefficients compare false against "< 0" → kept (conservative).
+        coef = rows[:, :9][jnp.minimum(tri_p, rows.shape[0] - 1)]
+        tloc = tile_p % tiles_per_view if tiles_per_view else tile_p
+        fx0 = (tloc % ntx).astype(jnp.float32) * tile_w
+        fy0 = (tloc // ntx).astype(jnp.float32) * tile_h
+        fx1 = fx0 + (tile_w - 1)
+        fy1 = fy0 + (tile_h - 1)
+
+        def lmax(a, b, c):
+            xe = jnp.where(a > 0, fx1, fx0)
+            ye = jnp.where(b > 0, fy1, fy0)
+            return xe * a + (ye * b + c)
+
+        bad = ((lmax(coef[:, 0], coef[:, 1], coef[:, 2]) < 0)
+               | (lmax(coef[:, 3], coef[:, 4], coef[:, 5]) < 0)
+               | (lmax(coef[:, 6], coef[:, 7], coef[:, 8]) < 0))
+        valid = valid & ~bad
+    keys = (tile_p << 17) | tri_p
+    keys = jnp.where(valid, keys, jnp.int32(n_tiles) << 17)
 
     skeys = bitonic_sort_i32(keys, interpret=interpret)
     sorted_tri = jnp.minimum(skeys & ((1 << 17) - 1), t - 1)
+
+    if tile_h and tile_w:
+        # ---- per-tile counts of the SURVIVING pairs, from the sorted keys
+        # (the separable histogram matmul cannot account per-pair rejects);
+        # ``bounds`` doubles as the tile-run position table below
+        bounds = jnp.searchsorted(
+            skeys, jnp.arange(n_tiles + 1, dtype=jnp.int32) << 17,
+            side="left").astype(jnp.int32)
+        tile_counts = bounds[1:] - bounds[:-1]
+        stids, sstripes, gchunks = _compose_groups(
+            tile_counts, n_tiles, group, sub, interpret=interpret)
+        gchunks, gstarts, start_c, total_slots = _clamp_group_chunks(
+            gchunks, n_chunks)
+        # a clamped EXPANSION under-reports post-reject demand — surface
+        # the unclamped rectangle total so the overflow check still fires
+        total_slots = jnp.where(total_pairs > n_pairs,
+                                jnp.maximum(total_slots, total_pairs),
+                                total_slots)
+    else:
+        # reject off: the separable MXU histogram + cumsum (cheaper than
+        # the searchsorted over the sorted keys)
+        tile_counts, stids, sstripes, gchunks = group_histogram(
+            tx0, cx, ty0, cy, ntx, nty, group, sub, interpret=interpret)
+        gchunks, gstarts, start_c, total_slots = _clamp_group_chunks(
+            gchunks, n_chunks)
+        bounds = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(tile_counts)]).astype(jnp.int32)
+    n_groups = int(gchunks.shape[0])
 
     # ---- closed-form interleave indices, no element gathers
     # per-chunk group id, group chunk count, and group chunk-start, fill-
@@ -506,9 +581,7 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
     j_c = jnp.arange(n_chunks, dtype=jnp.int32) - s_c
     # per-(sorted position) tile run start in the sorted array; expand to a
     # (n_groups, 128) lane table, then ONE row gather per chunk
-    pstart = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(tile_counts)]).astype(jnp.int32)
-    tbl = pstart[jnp.minimum(stids, n_tiles)]          # (n_sorted,) small
+    tbl = bounds[jnp.minimum(stids, n_tiles)]          # (n_sorted,) small
     tbl2 = jnp.tile(tbl.reshape(-1, group)[:n_groups], (1, sub))
     run0 = tbl2[g_of_chunk]                            # (n_chunks, 128)
     lane = jnp.arange(chunk, dtype=jnp.int32)

@@ -125,12 +125,16 @@ def view_row_stride(nty: int, group: int) -> int:
     groups over the padded grid).
     """
     return -(-nty // group) * group
-# default lane-subgroup packing: 8 count-sorted tiles per 128-lane chunk
-# (16-lane stripes). Finer stripes quantize each tile's demand with less
-# rounding waste — on the bench scenes g8/sub16 needs ~23% fewer chunk
-# iterations than g4/sub32 (155 vs 202 on T-Rex) and measured ~6% faster
-# end-to-end; g16/sub8 buys almost no further chunks. Must divide 128.
-GROUP = 8
+# default lane-subgroup packing: 16 count-sorted tiles per 128-lane chunk
+# (8-lane strided classes). The per-GROUP epilogue made group size a
+# first-order lever (the old per-stripe epilogue was group-invariant):
+# g16 halves the nonempty-group count at roughly constant per-group cost
+# (one fewer doubling round), packs the output block's 128 lanes exactly
+# (16 stripes x 8 planes), and halves the sparse-scene per-tile slot
+# floor (sub=8) — measured 1.50 -> 1.30 ms on the T-Rex headline vs g8.
+# g32 cannot carry the 8 exact-mode planes (32*8 > 128 lanes). Must
+# divide 128 and satisfy group * n_out <= 128.
+GROUP = 16
 
 
 def _make_kernel(ntx: int, tile_h: int, tile_w: int, chunk: int,
@@ -807,13 +811,24 @@ def _stacked_tile_rows(config: RenderConfig, tile_h: int, group: int,
     return -(-nty // group) * group
 
 
-def _pos_of_tiles(stids, n_tiles: int):
-    """Inverse of the count-sorted composition: sorted position per tile."""
+def _pos_of_tiles(stids, n_tiles: int, interpret: bool = False):
+    """Inverse of the count-sorted composition: sorted position per tile.
+
+    Computed by a SECOND small bitonic key sort — ``(stid << b) | k`` sorted
+    ascending puts tile t's packed position at slot t (every real tile
+    appears exactly once; sentinels sort to the tail) — instead of a
+    scatter: XLA lowers a 1-D scatter as a serial per-element loop, which
+    measured ~0.3 ms for the 2048-tile grid (the cumulative-chain probe's
+    raster→assemble delta), vs ~0.035 ms for the sort.
+    """
+    from .sort_pallas import bitonic_sort_i32
+
     n_sorted = stids.shape[0]
-    pos = jnp.zeros((n_tiles + 1,), jnp.int32).at[
-        jnp.minimum(stids, n_tiles)].set(
-        jnp.arange(n_sorted, dtype=jnp.int32), mode="drop")
-    return pos[:n_tiles]
+    bits = max((n_sorted - 1).bit_length(), 1)
+    assert n_tiles < (1 << (31 - bits)), "tile/position key would overflow"
+    key = (stids << bits) | jnp.arange(n_sorted, dtype=jnp.int32)
+    skey = bitonic_sort_i32(key, interpret=interpret)
+    return (skey & ((1 << bits) - 1))[:n_tiles]
 
 
 def _grouped_tile_blocks(gpacked, stids, config: RenderConfig, tile_w: int,
@@ -936,7 +951,7 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
              group: int = 1, n_attrs: int = binning.N_ATTRS,
              sign_cover: bool = False, n_views: int = 1,
              packed_out: bool = False, post: str = "none", light=None,
-             emit_gbuf: bool = True):
+             emit_gbuf: bool = True, bin_reject: bool = False):
     """Bin → Pallas raster.
 
     Returns (out, n_active, cap_used, post_img) where ``cap_used`` is
@@ -1008,7 +1023,16 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             bin_gather_grouped(rows[:, :_rows_used(n_attrs)], tx0, cx, ty0,
                                cy, ntx=ntx, nty=nty_g, slot_cap=p_cap,
                                group=group, sub=chunk // group,
-                               interpret=interpret)
+                               interpret=interpret,
+                               # per-pair trivial-reject: OPT-IN via
+                               # bin_reject (measured a net wall LOSS on
+                               # T-Rex — the coef gather + searchsorted
+                               # counting cost more than the 6-9% slot cut
+                               # saves; see PERF_NOTES)
+                               tile_h=tile_h if bin_reject else 0,
+                               tile_w=tile_w if bin_reject else 0,
+                               tiles_per_view=(ntx * nty_g1
+                                               if n_views > 1 else 0))
         # pre-shaded posts ("u8"/"fast_lambert_u8") only quantize in-kernel;
         # "lambert_u8" also shades there (needs the 6-attr normal planes)
         kpost = None if post == "none" else (
@@ -1248,4 +1272,4 @@ def rasterize(tris_screen: jnp.ndarray,
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
     "group", "n_attrs", "sign_cover", "n_views", "packed_out", "post",
-    "emit_gbuf"))
+    "emit_gbuf", "bin_reject"))

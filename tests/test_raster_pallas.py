@@ -795,3 +795,55 @@ def test_packed_out_parity():
     np.testing.assert_array_equal(np.asarray(filler.get_normals_buffer()),
                                   np.asarray(n2))
     np.testing.assert_array_equal(img_lazy, np.asarray(filler2._post_image))
+
+
+def test_trivial_reject_bit_exact_and_smaller():
+    """Per-pair edge trivial-reject must not change a single pixel, only
+    shrink the surviving pair set (thin/diagonal triangles over-bin their
+    bbox rectangle; the kernel re-tests coverage per pixel, so dropping
+    provably-uncovered pairs is invisible)."""
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.ops import binning, binsort_pallas
+    from cython3dmodelrenderer_tpu.ops import raster_pallas as rp
+
+    rng = np.random.RandomState(11)
+    config = RenderConfig(height=128, width=128, fov=60)
+    th, tw = 16, 32
+    group, sub, chunk = 8, 16, 128
+    ntx, nty_g = 4, 8
+    t = 200
+    # long thin diagonal triangles: worst-case rectangle over-binning
+    base = rng.rand(t, 1, 2) * 140 - 6
+    d = rng.randn(t, 1, 2) * 60
+    thin = rng.randn(t, 1, 2) * 2.5
+    pts = np.concatenate([base, base + d, base + d * 0.5 + thin], axis=1)
+    z = rng.rand(t, 3, 1) * 0.9 + 0.05
+    ts = jnp.asarray(np.concatenate([pts, z], -1).astype(np.float32))
+    tc = jnp.asarray(rng.rand(t, 3, 3).astype(np.float32) * 255)
+    tn = jnp.asarray(rng.rand(t, 3, 3).astype(np.float32) - 0.5)
+    act = jnp.asarray(rng.rand(t) > 0.1)
+
+    rows, tx0, cx, ty0, cy, counts = binning.plane_data(
+        ts, act, config, th, tw, colors=tc, normals=tn)
+    p_cap = binning.capacity_bucket(int(jnp.sum(counts)), 128)
+    ru = rp._ROWS_USED
+
+    outs = {}
+    slots = {}
+    for name, kw in [("off", {}), ("on", {"tile_h": th, "tile_w": tw})]:
+        (binned, gstarts, gchunks, stids, sstripes, _tc2, tot, _na) = \
+            binsort_pallas.bin_gather_grouped(
+                rows[:, :ru], tx0, cx, ty0, cy, ntx=ntx, nty=nty_g,
+                slot_cap=p_cap, group=group, sub=sub, interpret=True, **kw)
+        slots[name] = int(tot)
+        gpacked, _u8 = rp._raster_tiles_grouped(
+            binned, gstarts, gchunks, stids, sstripes, ntx, nty_g,
+            th, tw, chunk, group, config.z_init, True)
+        outs[name] = rp._gbuffers_from_grouped(
+            gpacked, stids, config, th, tw, binning.N_ATTRS, group)
+    assert slots["on"] <= slots["off"]
+    for a, b in zip(outs["off"], outs["on"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # thin-triangle scenes must actually reject something
+    assert slots["on"] < slots["off"]

@@ -26,7 +26,7 @@ from bench import _posed
 from cython3dmodelrenderer_tpu.config import RenderConfig
 from cython3dmodelrenderer_tpu.ops import binning, raster_pallas
 
-NITER = 20
+NITER = 64
 EPS = jnp.float32(1e-30)
 
 
@@ -50,7 +50,13 @@ def chain(stage):
     return run
 
 
-calib = timeit(chain(lambda x, i: x + i.astype(jnp.float32) * EPS))
+def fresh_calib():
+    # re-measured right before each stage: the tunnel round-trip drifts by
+    # tens of ms between runs, and calib is that round-trip / NITER
+    return timeit(chain(lambda x, i: x + i.astype(jnp.float32) * EPS))
+
+
+calib = fresh_calib()
 print(f"calibration {calib:7.3f} ms", flush=True)
 
 
@@ -94,7 +100,7 @@ def measure(tag, tv, tn, tc, size):
         img = res[3]
         return x + img[0, 0, 0].astype(jnp.float32) * EPS
 
-    ms = timeit(chain(frame)) - calib
+    ms = timeit(chain(frame)) - fresh_calib()
     print(f"{tag:30s}: {ms:7.3f} ms/frame chained (p_cap {p_cap})",
           flush=True)
     return ms
@@ -137,8 +143,8 @@ def s_bin(x, i):
     return x + out[0][0, 0] * EPS
 
 
-print(f"  binning (sort+tables+gather): {timeit(chain(s_bin)) - calib:7.3f}"
-      " ms", flush=True)
+print(f"  binning (sort+tables+gather): "
+      f"{timeit(chain(s_bin)) - fresh_calib():7.3f} ms", flush=True)
 
 (binned, gstarts, gchunks, stids, sstripes, _tc, _tot, _na) = \
     binsort_pallas.bin_gather_grouped(
@@ -154,7 +160,7 @@ def s_raster(x, i):
 
 
 print(f"  raster grid (mostly empty groups): "
-      f"{timeit(chain(s_raster)) - calib:7.3f} ms", flush=True)
+      f"{timeit(chain(s_raster)) - fresh_calib():7.3f} ms", flush=True)
 
 (binned2, gstarts2, gchunks2, stids2, sstripes2, _t2, _tt2, _n2) = \
     binsort_pallas.bin_gather_grouped(
@@ -166,10 +172,13 @@ _packed, u8b = raster_pallas._raster_tiles_grouped(
 
 
 def s_assemble(x, i):
+    # x-dependent runtime-identity select: defeats cross-iteration CSE of
+    # the gather (a constant input would hoist out of the chain)
+    u8p = jnp.where(x < jnp.float32(-1), jnp.uint8(1), u8b)
     img = raster_pallas.assemble_u8_image(
-        u8b, stids2, config, th, tw, group)
-    return x + img[0, 0, 0].astype(jnp.float32) * (x * EPS + EPS)
+        u8p, stids2, config, th, tw, group)
+    return x + img[0, 0, 0].astype(jnp.float32) * EPS
 
 
 print(f"  u8 image assembly (gather):   "
-      f"{timeit(chain(s_assemble)) - calib:7.3f} ms", flush=True)
+      f"{timeit(chain(s_assemble)) - fresh_calib():7.3f} ms", flush=True)

@@ -23,13 +23,15 @@ with per-pixel locks (``crender/cy/.../advanced_pixel_buffer_filler.pyx:
   alongside, so the G-buffers (color, z, normal) leave the kernel finished —
   no post-pass and no XLA gather anywhere;
 * two kernel variants: one tile per grid step (``_make_kernel``), and the
-  default grouped variant (``_make_kernel_grouped``) packing ``group=8``
-  COUNT-SORTED tiles into each 128-lane chunk as 16-lane stripes (balanced
+  default grouped variant (``_make_kernel_grouped``) packing ``group=16``
+  COUNT-SORTED tiles into each 128-lane chunk as strided lane classes (balanced
   stripes: a group's chunk count ≈ its mean tile's demand, not its worst
-  neighbor's), with a lane-local running argmin, one segmented epilogue
-  reduction, cross-group input-DMA pipelining via a persistent SMEM chunk
-  cursor, and manual double-buffered output DMA to each tile's image
-  position over a background pre-filled by input-output aliasing;
+  neighbor's), with a lane-local running argmin in the chunk loop and ONE
+  unmasked roll-doubling epilogue per group computing every stripe at
+  once, cross-group input-DMA pipelining via a persistent SMEM chunk
+  cursor, and a statically-blocked GROUP-PACKED output (tiles reach image
+  positions in a byte-cheap XLA-side gather; post images quantize
+  in-kernel);
 * triangle data streams HBM→VMEM with double-buffered async DMA;
 * the steady-state frame is ONE jitted dispatch (``render_frame``) with a
   cached static bin capacity — no per-frame host syncs (a periodic lazy

@@ -243,7 +243,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
     def render_model(self, model, order: Optional[jnp.ndarray] = None,
                      colors_override: Optional[jnp.ndarray] = None,
-                     post: str = "none", light=None) -> None:
+                     post: str = "none", light=None,
+                     keep_gbuffers: bool = False) -> None:
         """Rasterize the whole model into the filler's G-buffers.
 
         ``order`` is an optional triangle permutation (iterator order; only
@@ -270,7 +271,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             tri_colors = tri_colors[order]
 
         self.render_arrays(tri_verts, tri_norms, tri_colors,
-                           post=post, light=light)
+                           post=post, light=light,
+                           keep_gbuffers=keep_gbuffers)
 
     def _rasterize(self, tri_verts, tri_norms, tri_colors,
                    post: str = "none", light=None):
@@ -285,7 +287,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         return self._color, self._z, self._normals
 
     def render_arrays(self, tri_verts, tri_norms, tri_colors,
-                      post: str = "none", light=None) -> None:
+                      post: str = "none", light=None,
+                      keep_gbuffers: bool = False) -> None:
         """Dispatch one frame from raw (T, 3, 3) triangle arrays.
 
         The HOT path: stores the frame's packed G-buffer (Pallas backend)
@@ -334,7 +337,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
                     tris_screen, active, self.config, group=self._group)
                 self._p_cap = binning.capacity_bucket(int(total) * 5 // 4, 128)
                 self._sized_for = tri_verts.shape[0]
-            self._dispatch_pallas(tri_verts, tri_norms, tri_colors)
+            self._dispatch_pallas(tri_verts, tri_norms, tri_colors,
+                                  keep_gbuffers=keep_gbuffers)
             self._track_pending(tri_verts, tri_norms, tri_colors)
             return
         tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
@@ -399,7 +403,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             group=self._group)
         self._packed = None
 
-    def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors):
+    def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors,
+                         keep_gbuffers: bool = False):
         from .ops import raster_pallas
 
         post, light = self._post_mode
@@ -411,7 +416,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             self._p_cap, 0, group=self._group,
             interpret=self._interpret, post=post, light=light,
             sign_cover=self.sign_cover, packed_out=True,
-            emit_gbuf=(post == "none"))
+            emit_gbuf=(post == "none" or keep_gbuffers))
         if post == "none":
             packed, self._last_total, self._last_active = res
         else:

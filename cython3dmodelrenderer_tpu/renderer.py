@@ -122,9 +122,12 @@ class Renderer:
             post, light = "u8", None
         else:
             post, light = "none", None
+        # this path snapshots z/normals right after the dispatch, so ask
+        # for the G-buffer output up front (the hot deferred mode would
+        # re-render on the snapshot's getter — double work per frame)
         filler.render_model(model, order=self._order(model),
                             colors_override=colors_override,
-                            post=post, light=light)
+                            post=post, light=light, keep_gbuffers=True)
         # ONE consistent snapshot: per-getter access could interleave with
         # an async overflow repair and hand back color/z/normal tensors
         # from different render generations (a torn frame)

@@ -218,6 +218,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         # tiles per Pallas grid step (lane-subgroup packing); 1 = one tile
         from .ops.raster_pallas import GROUP
         self._group: int = GROUP
+        self._packed_group: int = GROUP   # group of the last dispatch
         # fused final-image pass of the last frame (see render_model(post=))
         self._post_mode = ("none", None)
         self._post_image: Optional[jnp.ndarray] = None
@@ -394,13 +395,14 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             tv, tn, tc, _cap = self._latest
             post, light = self._post_mode   # same mode → same n_attrs/planes
             res = raster_pallas.render_frame(
-                tv, tn, tc, self.config, self._p_cap, 0, group=self._group,
+                tv, tn, tc, self.config, self._p_cap, 0,
+                group=self._packed_group,
                 interpret=self._interpret, post=post, light=light,
                 sign_cover=self.sign_cover, packed_out=True, emit_gbuf=True)
             self._packed = res[0]
         self._color, self._z, self._normals = raster_pallas.unpack_gbuffers(
             self._packed, self.config, n_attrs=self._packed_attrs,
-            group=self._group)
+            group=self._packed_group)
         self._packed = None
 
     def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors,
@@ -411,9 +413,16 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         # post-mode frames skip the f32 G-buffer output entirely (~64 MB
         # less HBM write traffic at 1024²): the deliverable is the post
         # image; G-buffers re-render lazily on getter access (_materialize)
+        # (group=32 for fast-shade frames — legal, since n_out=4 keeps
+        # group * n_out within the 128 lanes — measured a REGRESSION:
+        # 1.40 vs 1.27 ms; wider groups buy no further epilogue once the
+        # doubling is this short, and the 32-tile demand range inflates
+        # per-group chunk rounding. Keep one group for every mode.)
+        group = self._group
+        self._packed_group = group
         res = raster_pallas.render_frame(
             tri_verts, tri_norms, tri_colors, self.config,
-            self._p_cap, 0, group=self._group,
+            self._p_cap, 0, group=group,
             interpret=self._interpret, post=post, light=light,
             sign_cover=self.sign_cover, packed_out=True,
             emit_gbuf=(post == "none" or keep_gbuffers))

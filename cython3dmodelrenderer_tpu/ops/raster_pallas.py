@@ -358,6 +358,8 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
     """
     sub = chunk // group
     n_out = _out_stripes(n_attrs)
+    assert group * n_out <= chunk, \
+        "group-packed output needs group * n_out lanes"
 
     assert emit_gbuf or post is not None, \
         "a frame must emit at least one of (G-buffer, post image)"

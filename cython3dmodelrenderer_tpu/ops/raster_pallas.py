@@ -899,13 +899,32 @@ def assemble_u8_image(u8packed, stids, config: RenderConfig,
     """(H, W, 3) uint8 image from the kernel's group-packed u8 output.
 
     The HOT post-image path: the kernel already shaded/quantized, so this
-    moves only bytes (a ~16x smaller gather than the f32 planar unpack).
+    moves only bytes. The deinterleave runs in the INT32 domain — bitcast
+    four adjacent u8 lanes into one word (lanes 4k..4k+3 share one plane
+    class whenever ``group % 4 == 0``), row-gather each tile's three
+    channel words, and extract the tile's byte with a per-tile shift —
+    u8-dtype transposes at byte granularity measured ~2x the i32 path.
     """
     h, w = config.height, config.width
     nty_g = _stacked_tile_rows(config, tile_h, group, n_views, rows_per_view)
     ntx = -(-w // tile_w)
-    blocks = _grouped_tile_blocks(u8packed, stids, config, tile_w, group,
-                                  3, nty_g)
+    n_tiles = ntx * nty_g
+    n_groups, th, tw, chunk = u8packed.shape
+    nw = chunk // 4                      # i32 words per lane row
+    # word k = lanes 4k..4k+3 (little-endian byte j = lane 4k+j): channel
+    # p of stripe s lives at word p*(group//4) + s//4, byte s%4
+    v32 = jax.lax.bitcast_convert_type(
+        u8packed.reshape(n_groups, th, tw, nw, 4), jnp.int32)
+    vt = v32.transpose(0, 3, 1, 2).reshape(n_groups * nw, th, tw)
+    pos = _pos_of_tiles(stids, n_tiles)
+    g = pos // group
+    s = pos % group
+    base = g * nw + s // 4
+    idx = (base[:, None]
+           + jnp.arange(3, dtype=jnp.int32)[None, :] * (group // 4))
+    words = vt[idx.reshape(-1)].reshape(n_tiles, 3, th, tw)
+    shift = ((s % 4) * 8)[:, None, None, None]
+    blocks = ((words >> shift) & 255).astype(jnp.uint8)
     img = blocks.reshape(nty_g, ntx, 3, tile_h, tile_w) \
         .transpose(0, 3, 1, 4, 2).reshape(nty_g * tile_h, ntx * tile_w, 3)
     if n_views == 1:

@@ -597,10 +597,12 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
     f_idx = run0 + (lane // group)[None, :] * b_c[:, None] + j_c[:, None]
     f_idx = jnp.clip(f_idx.reshape(-1), 0, slot_cap - 1)
 
-    # compose indices BEFORE touching the wide rows: sorted_tri[f_idx] is a
-    # (slot_cap,) int32 element gather (cheap), so the 35-column plane rows
-    # move through ONE row gather instead of two full passes
-    binned = rows[sorted_tri[f_idx]]
+    # TWO row gathers, not index-compose + one: the (slot_cap,) int32
+    # element gather ``sorted_tri[f_idx]`` costs a measured 0.13 ms (XLA
+    # 1-D element gathers are the slow kind — same finding as the 0.69 ms
+    # note in the interleave docs), while a second 25-column ROW gather is
+    # ~0.05: 0.293 → 0.160 ms for the whole tail (A/B 2026-08-20)
+    binned = rows[sorted_tri][f_idx]
     binned = jnp.pad(binned, ((0, chunk), (0, 0)))     # chunk-tail guard
     n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
     return (binned, gstarts, gchunks, stids, sstripes, tile_counts,

@@ -336,7 +336,14 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
                                                       self.config)
                 total = raster_pallas.grouped_slot_total(
                     tris_screen, active, self.config, group=self._group)
-                self._p_cap = binning.capacity_bucket(int(total) * 5 // 4, 128)
+                # 5% headroom (was 25%): every binning stage scales with
+                # the STATIC capacity (sort, ffills, row gathers), so a
+                # tight bucket is wall time — measured 1.15 -> 1.08 ms on
+                # the headline. Animation demand drift past 5% triggers
+                # the overflow auto-repair below, which grows the bucket
+                # once and re-renders — self-correcting.
+                self._p_cap = binning.capacity_bucket(int(total) * 21 // 20,
+                                                      128)
                 self._sized_for = tri_verts.shape[0]
             self._dispatch_pallas(tri_verts, tri_norms, tri_colors,
                                   keep_gbuffers=keep_gbuffers)

@@ -601,9 +601,11 @@ def bin_gather_grouped(rows, tx0, cx, ty0, cy, ntx: int, nty: int,
     # element gather ``sorted_tri[f_idx]`` costs a measured 0.13 ms (XLA
     # 1-D element gathers are the slow kind — same finding as the 0.69 ms
     # note in the interleave docs), while a second 25-column ROW gather is
-    # ~0.05: 0.293 → 0.160 ms for the whole tail (A/B 2026-08-20)
+    # ~0.05: 0.293 → 0.160 ms for the whole tail (A/B 2026-08-20). The
+    # chunk-tail guard rides the same gather (index 0 → a real row, safe
+    # by duplicate-or-fail-bbox) instead of a full-array pad copy.
+    f_idx = jnp.concatenate([f_idx, jnp.zeros((chunk,), jnp.int32)])
     binned = rows[sorted_tri][f_idx]
-    binned = jnp.pad(binned, ((0, chunk), (0, 0)))     # chunk-tail guard
     n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
     return (binned, gstarts, gchunks, stids, sstripes, tile_counts,
             total_slots, n_active)

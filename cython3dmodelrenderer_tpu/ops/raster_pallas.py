@@ -925,6 +925,10 @@ def assemble_u8_image(u8packed, stids, config: RenderConfig,
     words = vt[idx.reshape(-1)].reshape(n_tiles, 3, th, tw)
     shift = ((s % 4) * 8)[:, None, None, None]
     blocks = ((words >> shift) & 255).astype(jnp.uint8)
+    # (an all-i32 variant — pack each pixel's three bytes into one BGR0
+    # word, spatial-transpose in i32, bitcast to (H, W, 4) u8 and slice
+    # [:3] — measured ~0.05 ms SLOWER: the 3-of-4 byte slice copy costs
+    # more than the u8 transpose it avoids)
     img = blocks.reshape(nty_g, ntx, 3, tile_h, tile_w) \
         .transpose(0, 3, 1, 4, 2).reshape(nty_g * tile_h, ntx * tile_w, 3)
     if n_views == 1:

@@ -847,3 +847,36 @@ def test_trivial_reject_bit_exact_and_smaller():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # thin-triangle scenes must actually reject something
     assert slots["on"] < slots["off"]
+
+
+def test_deferred_gbuffer_rerender_matches_eager():
+    """Hot post-mode frames skip the f32 G-buffer output (emit_gbuf=False);
+    a getter re-renders the retained inputs — the result must BIT-match a
+    keep_gbuffers=True dispatch of the same frame (deterministic kernel)."""
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.fillers import (_DEFERRED,
+                                                   AdvancedPixelBufferFiller)
+
+    config_hw = (96, 128)
+    tris, colors, normals = random_scene(t=60, seed=13)
+    tv, tn, tc = jnp.asarray(tris), jnp.asarray(normals), jnp.asarray(colors)
+
+    hot = AdvancedPixelBufferFiller(*config_hw, fov=60, backend="pallas",
+                                    interpret=True)
+    hot.render_arrays(tv, tn, tc, post="u8")
+    assert hot._packed is _DEFERRED          # f32 output really skipped
+    img_hot = np.asarray(hot._post_image)
+    c_hot = np.asarray(hot.get_color_buffer())   # triggers the re-render
+    z_hot = np.asarray(hot.get_z_buffer())
+    n_hot = np.asarray(hot.get_normals_buffer())
+
+    eager = AdvancedPixelBufferFiller(*config_hw, fov=60, backend="pallas",
+                                      interpret=True)
+    eager.render_arrays(tv, tn, tc, post="u8", keep_gbuffers=True)
+    assert eager._packed is not _DEFERRED
+    np.testing.assert_array_equal(img_hot, np.asarray(eager._post_image))
+    np.testing.assert_array_equal(c_hot, np.asarray(eager.get_color_buffer()))
+    np.testing.assert_array_equal(z_hot, np.asarray(eager.get_z_buffer()))
+    np.testing.assert_array_equal(n_hot,
+                                  np.asarray(eager.get_normals_buffer()))

@@ -1,14 +1,16 @@
 """Primitive-cost probe for the raster epilogue redesign (PERF_NOTES roadmap 1).
 
-raster_slope.py measured the per-stripe epilogue at 0.632 ms/frame — 68% of
-the grouped kernel (chunk-body 0.130, fixed 0.107). The epilogue is built
-from full-width (TH, TW, K) lane-space primitives; this probe measures each
-candidate primitive's marginal cost inside a realistic Pallas kernel (same
-shapes, same compiler) by replicating it R times against live VMEM scratch
-and fitting ms vs R:
+This probe drove the round-4 GROUP-PACKED epilogue redesign: it showed
+the old per-stripe epilogue's cost was accumulator RE-STREAMING
+(epi_cur8 9.4 vs epi_rr_group 3.6 us/group), which the strided-class
+unmasked roll-doubling now avoids (landed: raster_pallas._raster_group;
+in-situ slopes via raster_slope.py). Kept for future epilogue A/Bs.
+Each primitive's marginal cost is measured inside a realistic Pallas
+kernel (same shapes, same compiler) by replicating it R times against
+live VMEM scratch and fitting ms vs R:
 
-  reduce    — jnp.min over the 128-lane axis of (16, 32, 128) (the current
-              per-stripe masked tree, x9 per stripe today)
+  reduce    — jnp.min over the 128-lane axis of (16, 32, 128) (the OLD
+              per-stripe masked tree)
   wherered  — where(seg-mask) + the same reduce (the actual per-stripe op)
   extract   — static single-lane extract x[:, :, k] -> (16, 32)
   roll      — pltpu.roll by 16 lanes (butterfly-round building block)

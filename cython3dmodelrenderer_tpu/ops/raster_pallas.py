@@ -1211,7 +1211,14 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     from .projection import project_to_screen, visibility_masks
 
     fast = post == "fast_lambert_u8"
-    n_attrs = 3 if fast else binning.N_ATTRS
+    # LEAN u8 frames: a plain-quantize hot frame (post="u8", no G-buffer
+    # output) reads only the B, G, R planes — carrying the three normal
+    # channels through the chunk loop, the DMA rows, and the epilogue
+    # doubling is dead weight. Same kernel math for the live channels, so
+    # the u8 image is bit-identical; getters re-render with the full six
+    # channels anyway (the deferred-materialize path).
+    lean = post == "u8" and packed_out and not emit_gbuf
+    n_attrs = 3 if (fast or lean) else binning.N_ATTRS
     post_img = None
     if tri_verts.shape[0] == 0:   # empty scene → background
         zero = jnp.zeros((), jnp.int32)
@@ -1227,6 +1234,8 @@ def render_frame(tri_verts, tri_norms, tri_colors,
             # (T, 3, 3) per-vertex normals instead of the G-buffer
             attr_colors, attr_normals = lambert_shade(tri_colors, tri_norms,
                                                       light), None
+        elif lean:
+            attr_colors, attr_normals = tri_colors, None
         else:
             attr_colors, attr_normals = tri_colors, tri_norms
         rows, tx0, cx, ty0, cy, counts, _total = _plane_stage(

@@ -158,6 +158,10 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
         # channels, no deferred shade; normals G-buffer reads zeros
         attr_colors, attr_normals, n_attrs = (
             lambert_shade(tri_colors, tri_norms, light), None, 3)
+    elif post == "u8" and packed_out:
+        # LEAN unlit u8 sweep frames: only B, G, R leave the kernel — the
+        # normal channels are dead weight (see render_frame's lean mode)
+        attr_colors, attr_normals, n_attrs = tri_colors, None, 3
     else:
         attr_colors, attr_normals, n_attrs = (tri_colors, tri_norms,
                                               binning.N_ATTRS)

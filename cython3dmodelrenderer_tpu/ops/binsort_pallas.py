@@ -323,7 +323,10 @@ def group_histogram(tx0, cx, ty0, cy, ntx: int, nty: int,
     ys = jnp.arange(nty, dtype=jnp.int32)[None, :]
     mx = ((xs >= tx0[:, None]) & (xs < (tx0 + cx)[:, None])).astype(jnp.float32)
     my = ((ys >= ty0[:, None]) & (ys < (ty0 + cy)[:, None])).astype(jnp.float32)
-    counts2d = jnp.matmul(my.T, mx, precision="highest")     # (nty, ntx)
+    # DEFAULT precision, not "highest": the 0/1 membership masks are exact
+    # in bf16 and the MXU accumulates in f32, so single-pass counts are
+    # exact below 2^24 — the 6-pass f32 decomposition is pure overhead here
+    counts2d = jnp.matmul(my.T, mx)                          # (nty, ntx)
     tile_counts = counts2d.reshape(-1).astype(jnp.int32)
     n_tiles = ntx * nty
     stids, sstripes, gchunks = _compose_groups(tile_counts, n_tiles, group,
@@ -641,7 +644,10 @@ def bin_sort(tx0, cx, ty0, cy, ntx: int, nty: int, p_cap: int):
     mx = ((xs >= tx0[:, None]) & (xs < (tx0 + cx)[:, None])).astype(jnp.float32)
     my = ((ys >= ty0[:, None]) & (ys < (ty0 + cy)[:, None])).astype(jnp.float32)
     # guard: zero-span triangles contribute nothing (cx or cy == 0 → mask 0)
-    counts2d = jnp.matmul(my.T, mx, precision="highest")     # (nty, ntx)
+    # DEFAULT precision, not "highest": the 0/1 membership masks are exact
+    # in bf16 and the MXU accumulates in f32, so single-pass counts are
+    # exact below 2^24 — the 6-pass f32 decomposition is pure overhead here
+    counts2d = jnp.matmul(my.T, mx)                          # (nty, ntx)
     counts = counts2d.reshape(-1).astype(jnp.int32)          # (n_tiles,)
     csum = jnp.cumsum(counts)
     total = csum[-1]

@@ -320,3 +320,35 @@ def test_fast_shade_on_device(objects_dir):
     assert lit.sum() > 1000, "empty render — the parity check proved nothing"
     diff = np.abs(img_exact.astype(np.int32) - img_fast.astype(np.int32))
     assert diff[lit].mean() < 8.0, f"fast-shade image drifted: {diff[lit].mean()}"
+
+
+def test_lean_u8_frame_on_device(objects_dir):
+    """The LEAN hot frame (post="u8", no G-buffer output, n_attrs=3) must
+    produce the same uint8 image on real hardware as a keep_gbuffers=True
+    dispatch of the same inputs (full 6-channel kernel variant), and its
+    deferred getters must serve the full-channel G-buffers."""
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.fillers import (_DEFERRED,
+                                                   AdvancedPixelBufferFiller)
+
+    path = os.path.join(objects_dir, "T-Rex.obj")
+    if not os.path.exists(path):
+        pytest.skip("T-Rex unavailable")
+    model = _load(path, True)
+    tv = model.vertices_by_triangles
+    tn = model.normals_by_triangles
+    tc = jnp.asarray(model.colors_by_triangles, jnp.float32)
+
+    hot = AdvancedPixelBufferFiller(512, 512, fov=45, backend="pallas")
+    hot.render_arrays(tv, tn, tc, post="u8")
+    assert hot._packed is _DEFERRED
+    img_hot = np.asarray(hot._post_image)
+
+    eager = AdvancedPixelBufferFiller(512, 512, fov=45, backend="pallas")
+    eager.render_arrays(tv, tn, tc, post="u8", keep_gbuffers=True)
+    np.testing.assert_array_equal(img_hot, np.asarray(eager._post_image))
+    np.testing.assert_array_equal(np.asarray(hot.get_z_buffer()),
+                                  np.asarray(eager.get_z_buffer()))
+    np.testing.assert_array_equal(np.asarray(hot.get_normals_buffer()),
+                                  np.asarray(eager.get_normals_buffer()))

@@ -79,33 +79,39 @@ class _DemandReader:
         self.q = queue.Queue()
         self.lock = threading.Lock()
         self.max_demand = 0   # peak overflowing demand since the last take()
+        self.max_tiles = 0    # peak overflowing nonempty-tile count
         self.gen = 0          # bumps on model change; stale reports ignored
         self.seq_done = 0     # highest dispatch seq fully processed (FIFO)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         _LIVE_READERS.add(self)
 
-    def put(self, total, cap, seq: int = 0) -> None:
+    def put(self, total, cap, tiles, tile_cap, seq: int = 0) -> None:
         # called from the dispatch thread only (same thread as invalidate,
-        # so the gen snapshot is consistent without the lock)
-        self.q.put((total, cap, self.gen, seq, 0))
+        # so the gen snapshot is consistent without the lock). ``tiles`` /
+        # ``tile_cap`` monitor live-group grid compaction (tile_cap <= 0 =
+        # compaction off for that dispatch — never overflows).
+        self.q.put((total, cap, tiles, tile_cap, self.gen, seq, 0))
 
     def invalidate(self) -> None:
         with self.lock:
             self.gen += 1
             self.max_demand = 0
+            self.max_tiles = 0
 
     def take(self):
-        """Atomically (pending overflow demand, highest processed seq).
+        """Atomically (pending overflow demand, overflowing tile count,
+        highest processed seq).
 
-        One lock acquisition for both, so a caller seeing demand == 0 with
-        seq_done >= its newest dispatch seq knows that frame was processed
-        AND found complete — the pair can't be torn by a report landing
-        between two separate reads.
+        One lock acquisition for all three, so a caller seeing zero demand
+        with seq_done >= its newest dispatch seq knows that frame was
+        processed AND found complete — the triple can't be torn by a report
+        landing between separate reads.
         """
         with self.lock:
             demand, self.max_demand = self.max_demand, 0
-            return demand, self.seq_done
+            tiles, self.max_tiles = self.max_tiles, 0
+            return demand, tiles, self.seq_done
 
     def stop(self) -> None:
         self.q.put(self._SHUTDOWN)
@@ -116,9 +122,10 @@ class _DemandReader:
             try:
                 if item is self._SHUTDOWN:
                     return
-                total, cap, gen, seq, attempts = item
+                total, cap, tiles, tile_cap, gen, seq, attempts = item
                 try:
                     t = int(total)
+                    a = int(tiles) if tile_cap > 0 else 0
                 except Exception:
                     # A failed demand read is NOT a clean verdict. Retry a
                     # few times (transient device/tunnel hiccups), keeping
@@ -128,12 +135,16 @@ class _DemandReader:
                     # truncated frame as confirmed-complete.
                     if attempts + 1 < 3:
                         time.sleep(0.1 * (attempts + 1))
-                        self.q.put((total, cap, gen, seq, attempts + 1))
+                        self.q.put((total, cap, tiles, tile_cap, gen, seq,
+                                    attempts + 1))
                         continue
-                    t = cap + 1
+                    t, a = cap + 1, max(tile_cap, 0) + 1
                 with self.lock:
-                    if t > cap and gen == self.gen:
-                        self.max_demand = max(self.max_demand, t)
+                    if gen == self.gen:
+                        if t > cap:
+                            self.max_demand = max(self.max_demand, t)
+                        if tile_cap > 0 and a > tile_cap:
+                            self.max_tiles = max(self.max_tiles, a)
                     # seq is globally monotone across gens (a stale item's
                     # seq predates any newer dispatch), so unconditional
                     self.seq_done = max(self.seq_done, seq)
@@ -197,6 +208,11 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         # Cached static pair-capacity bucket for the Pallas binner: lets
         # steady-state frames run with zero host syncs (overflow → retry).
         self._p_cap: Optional[int] = None
+        # Cached live-group grid bucket (raster_pallas ``g_cap``): the
+        # Pallas grid stops at the nonempty count-sorted groups instead of
+        # covering the whole tile grid; 0 = compaction off. Sized from the
+        # same sizing sync as _p_cap, grown by the same overflow loop.
+        self._g_cap: int = 0
         self._sized_for: Optional[int] = None
         self._last_total = None
         self._last_active = None
@@ -325,16 +341,18 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             from .ops import binning, raster_pallas
             if self._p_cap is not None and self._sized_for != tri_verts.shape[0]:
                 self._p_cap = None
+                self._g_cap = 0
                 self._invalidate_pending()   # old-model demands are meaningless
             if self._p_cap is None:
-                # One-time sizing sync: learn the scene's bin-slot demand,
-                # cache a bucket with 25% headroom (binning cost scales with
-                # it) so animation never re-syncs; _settle_pending() grows
-                # the bucket if a later frame overflows. The steady-state
-                # path below is exactly one dispatch per frame.
+                # One-time sizing sync: learn the scene's bin-slot demand
+                # AND its nonempty-tile count in one dispatch; cache both
+                # static buckets so animation never re-syncs —
+                # _settle_pending() grows either bucket if a later frame
+                # overflows it. The steady-state path below is exactly one
+                # dispatch per frame.
                 tris_screen, active = _geometry_stage(tri_verts, tri_norms,
                                                       self.config)
-                total = raster_pallas.grouped_slot_total(
+                total, act = raster_pallas.grouped_frame_demand(
                     tris_screen, active, self.config, group=self._group)
                 # 5% headroom (was 25%): every binning stage scales with
                 # the STATIC capacity (sort, ffills, row gathers), so a
@@ -344,10 +362,16 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
                 # once and re-renders — self-correcting.
                 self._p_cap = binning.capacity_bucket(int(total) * 21 // 20,
                                                       128)
+                # Live-group compaction: 25% tile headroom (scene coverage
+                # drifts more than slot demand under animation; a spare
+                # group costs ~1-3 us, a miss costs a repair re-render),
+                # bucketed to multiples of 4 groups to keep recompiles rare.
+                self._g_cap = self._group_bucket(int(act))
                 self._sized_for = tri_verts.shape[0]
             self._dispatch_pallas(tri_verts, tri_norms, tri_colors,
                                   keep_gbuffers=keep_gbuffers)
-            self._track_pending(tri_verts, tri_norms, tri_colors)
+            self._track_pending(tri_verts, tri_norms, tri_colors,
+                                keep_gbuffers=keep_gbuffers)
             return
         tris_screen, active = _geometry_stage(tri_verts, tri_norms, self.config)
         bbox = raster_ref.required_bbox_size(tris_screen, active, self.config)
@@ -399,18 +423,28 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
 
         if self._packed is _DEFERRED:
             assert self._latest is not None, "deferred frame without inputs"
-            tv, tn, tc, _cap = self._latest
+            tv, tn, tc = self._latest[:3]
             post, light = self._post_mode   # same mode → same n_attrs/planes
             res = raster_pallas.render_frame(
                 tv, tn, tc, self.config, self._p_cap, 0,
                 group=self._packed_group,
                 interpret=self._interpret, post=post, light=light,
-                sign_cover=self.sign_cover, packed_out=True, emit_gbuf=True)
+                sign_cover=self.sign_cover, packed_out=True, emit_gbuf=True,
+                g_cap=self._g_cap)
             self._packed = res[0]
         self._color, self._z, self._normals = raster_pallas.unpack_gbuffers(
             self._packed, self.config, n_attrs=self._packed_attrs,
             group=self._packed_group)
         self._packed = None
+
+    def _group_bucket(self, n_active_tiles: int) -> int:
+        """Live-group cap from a nonempty-tile count: 25% headroom,
+        rounded up to 4 groups; 0 (no nonempty tiles / un-grouped degrade)
+        disables compaction."""
+        if n_active_tiles <= 0:
+            return 0
+        need = -(-(n_active_tiles * 5 // 4) // self._group)
+        return -(-need // 4) * 4
 
     def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors,
                          keep_gbuffers: bool = False):
@@ -432,7 +466,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             self._p_cap, 0, group=group,
             interpret=self._interpret, post=post, light=light,
             sign_cover=self.sign_cover, packed_out=True,
-            emit_gbuf=(post == "none" or keep_gbuffers))
+            emit_gbuf=(post == "none" or keep_gbuffers),
+            g_cap=self._g_cap)
         if post == "none":
             packed, self._last_total, self._last_active = res
         else:
@@ -450,16 +485,18 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         self._settle_pending()
         return self._post_image
 
-    def _track_pending(self, tri_verts, tri_norms, tri_colors) -> None:
-        """Hand a dispatched frame's demand scalar to the reader thread.
+    def _track_pending(self, tri_verts, tri_norms, tri_colors,
+                       keep_gbuffers: bool = False) -> None:
+        """Hand a dispatched frame's demand scalars to the reader thread.
 
         Only the newest frame's INPUTS are retained (the repair target —
-        older frames' G-buffers are superseded); every frame's (demand
-        scalar, dispatch capacity) goes to the queue. The reader does the
-        blocking ``int()`` read off the dispatch thread, so the render loop
-        never waits on device scalars.
+        older frames' G-buffers are superseded); every frame's (slot
+        demand, nonempty-tile count, dispatch capacities) goes to the
+        queue. The reader does the blocking ``int()`` reads off the
+        dispatch thread, so the render loop never waits on device scalars.
         """
-        self._latest = (tri_verts, tri_norms, tri_colors, self._p_cap)
+        self._latest = (tri_verts, tri_norms, tri_colors, self._p_cap,
+                        self._g_cap, keep_gbuffers)
         if self._reader is None:
             self._reader = _DemandReader()
             # Stop the reader thread when THIS filler is collected — the
@@ -468,7 +505,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             weakref.finalize(self, self._reader.stop)
         self._validated = False
         self._dispatch_seq += 1
-        self._reader.put(self._last_total, self._p_cap, self._dispatch_seq)
+        self._reader.put(self._last_total, self._p_cap, self._last_active,
+                         self._g_cap * self._group, self._dispatch_seq)
 
     def _invalidate_pending(self) -> None:
         """Drop queued/recorded demands (model changed — they're meaningless)."""
@@ -496,8 +534,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             return False
         if strict:
             self._reader.q.join()
-        demand, seq_done = self._reader.take()
-        if demand == 0:
+        demand, tiles, seq_done = self._reader.take()
+        if demand == 0 and tiles == 0:
             # the reader has processed the newest dispatch's demand and
             # found it complete → the served frame is no longer provisional
             if seq_done >= self._dispatch_seq:
@@ -505,12 +543,19 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             return False
         if demand > self._p_cap:
             self._p_cap = binning.capacity_bucket(2 * demand, 128)
-        if repair and self._latest is not None and self._latest[3] < self._p_cap:
-            # Re-render the newest frame (older frames are superseded); its
-            # own demand re-queues for the next drain.
-            tv, tn, tc, _cap = self._latest
-            self._dispatch_pallas(tv, tn, tc)
-            self._track_pending(tv, tn, tc)
+        if self._g_cap and tiles > self._g_cap * self._group:
+            # live-group overflow: the frame rendered its smallest tiles as
+            # background — grow the grid bucket (2x the observed coverage)
+            self._g_cap = self._group_bucket(2 * tiles)
+        if repair and self._latest is not None and (
+                self._latest[3] < self._p_cap
+                or self._latest[4] < self._g_cap):
+            # Re-render the newest frame (older frames are superseded) with
+            # the same G-buffer retention it was dispatched with; its own
+            # demand re-queues for the next drain.
+            tv, tn, tc, _cap, _gcap, keep = self._latest
+            self._dispatch_pallas(tv, tn, tc, keep_gbuffers=keep)
+            self._track_pending(tv, tn, tc, keep_gbuffers=keep)
         return True
 
     def get_render_stats(self) -> dict:
@@ -527,6 +572,7 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             "active_tiles": (int(self._last_active)
                              if self._last_active is not None else None),
             "pair_capacity": self._p_cap,
+            "live_group_capacity": self._g_cap or None,
         }
 
     def validate_capacity(self) -> bool:

@@ -624,7 +624,7 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
                           nbuf: int = 2,
                           probe_reps: Tuple[int, int] = (1, 1),
                           post: str = None, light=None,
-                          emit_gbuf: bool = True):
+                          emit_gbuf: bool = True, g_cap: int = 0):
     """Dispatch the grouped kernel.
 
     Returns the GROUP-PACKED G-buffer ``(n_groups, tile_h, tile_w, chunk)``
@@ -633,10 +633,25 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
     set, the matching uint8 block array with the (shaded) quantized B, G, R
     planes. Tiles reach image positions in ``unpack_gbuffers`` /
     ``assemble_u8_image`` (XLA-side gather by ``stids``).
+
+    ``g_cap`` (static) is LIVE-GROUP GRID COMPACTION: the count-sorted
+    composition puts every nonempty tile at sorted positions
+    ``[0, n_active)``, so the nonempty groups are a PREFIX of the group
+    order — the grid (and both output arrays) can stop at a static bucket
+    of live groups instead of covering the whole tile grid. Empty groups
+    past the cap never take a grid step and never write a background
+    block; the XLA-side unpack substitutes the background for tiles whose
+    sorted position falls past the cap (safe for ANY cap value: a live
+    tile past the cap simply renders as background until the caller
+    re-renders). 0 = full grid (no compaction). Callers detect a too-small
+    cap via the returned n_active tile count (``n_active > g_cap * group``)
+    and re-render at a grown cap — same loop as pair-capacity overflow.
     """
     n_tiles = ntx * nty
     n_sorted = -(-n_tiles // group) * group
     n_groups = n_sorted // group
+    if g_cap:
+        n_groups = min(n_groups, g_cap)
     rows_used = _rows_used(n_attrs)
     kernel = _make_kernel_grouped(ntx, tile_h, tile_w, chunk, group, z_init,
                                   n_attrs, sign_cover, tiles_per_view, nbuf,
@@ -851,7 +866,16 @@ def _grouped_tile_blocks(gpacked, stids, config: RenderConfig, tile_w: int,
     # lane = s + group*p  →  reshape minor 128 to (sub, group) = [p, s]
     q = gpacked.reshape(n_groups, th, tw, sub, group)[..., :n_planes, :]
     qq = q.transpose(0, 4, 3, 1, 2).reshape(n_sorted, n_planes, th, tw)
-    return qq[_pos_of_tiles(stids, n_tiles)]
+    pos = _pos_of_tiles(stids, n_tiles)
+    blocks = qq[pos]
+    if n_sorted < stids.shape[0]:
+        # live-group compaction: tiles sorted past the live grid read the
+        # background (z plane = z_init, everything else 0)
+        bg = jnp.where(
+            jnp.arange(n_planes, dtype=jnp.int32)[:, None, None] == 3,
+            jnp.float32(config.z_init), 0.0)
+        blocks = jnp.where((pos < n_sorted)[:, None, None, None], blocks, bg)
+    return blocks
 
 
 def _gbuffers_from_grouped(gpacked, stids, config: RenderConfig,
@@ -906,6 +930,8 @@ def assemble_u8_image(u8packed, stids, config: RenderConfig,
     u8-dtype transposes at byte granularity measured ~2x the i32 path.
     """
     h, w = config.height, config.width
+    assert group % 4 == 0 and group >= 4, \
+        "i32-word deinterleave needs 4 u8 lanes per plane class"
     nty_g = _stacked_tile_rows(config, tile_h, group, n_views, rows_per_view)
     ntx = -(-w // tile_w)
     n_tiles = ntx * nty_g
@@ -925,6 +951,12 @@ def assemble_u8_image(u8packed, stids, config: RenderConfig,
     words = vt[idx.reshape(-1)].reshape(n_tiles, 3, th, tw)
     shift = ((s % 4) * 8)[:, None, None, None]
     blocks = ((words >> shift) & 255).astype(jnp.uint8)
+    if n_groups * group < stids.shape[0]:
+        # live-group compaction: tiles sorted past the live grid have no
+        # block — their image region is the (all-zero) u8 background (the
+        # gather above clamps out-of-range rows; mask the garbage out)
+        blocks = jnp.where((g < n_groups)[:, None, None, None], blocks,
+                           jnp.uint8(0))
     # (an all-i32 variant — pack each pixel's three bytes into one BGR0
     # word, spatial-transpose in i32, bitcast to (H, W, 4) u8 and slice
     # [:3] — measured ~0.05 ms SLOWER: the 3-of-4 byte slice copy costs
@@ -978,7 +1010,8 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
              group: int = 1, n_attrs: int = binning.N_ATTRS,
              sign_cover: bool = False, n_views: int = 1,
              packed_out: bool = False, post: str = "none", light=None,
-             emit_gbuf: bool = True, bin_reject: bool = False):
+             emit_gbuf: bool = True, bin_reject: bool = False,
+             g_cap: int = 0):
     """Bin → Pallas raster.
 
     Returns (out, n_active, cap_used, post_img) where ``cap_used`` is
@@ -1070,7 +1103,8 @@ def _stage_b(rows, tx0, cx, ty0, cy, counts,
             sign_cover,
             tiles_per_view=ntx * nty_g1 if n_views > 1 else 0,
             post=kpost, light=light,
-            emit_gbuf=emit_gbuf or kpost is None or not packed_out)
+            emit_gbuf=emit_gbuf or kpost is None or not packed_out,
+            g_cap=g_cap)
         cap_used = total_slots
         rows_pv = nty_g1 if n_views > 1 else 0
         post_img = None
@@ -1148,14 +1182,48 @@ def grouped_slot_total(tris_screen, active, config: RenderConfig,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "config", "tile_h", "tile_w", "chunk", "group"))
+def grouped_frame_demand(tris_screen, active, config: RenderConfig,
+                         tile_h: int = TILE_H, tile_w: int = TILE_W,
+                         chunk: int = 128, group: int = GROUP):
+    """(slot demand, nonempty-tile count) for a grouped frame.
+
+    One sizing dispatch reads BOTH scalars: the slot demand sizes the
+    static pair capacity (``grouped_slot_total`` semantics, including the
+    un-grouped degrade mirror) and the nonempty-tile count sizes LIVE-GROUP
+    GRID COMPACTION (``render_frame``'s ``g_cap`` — live groups =
+    ``ceil(n_active / group)`` because the count-sorted composition packs
+    all nonempty tiles into the leading sorted positions). The tile count
+    is 0 for workloads that degrade to the un-grouped path (no grouped
+    grid to compact).
+    """
+    from .binsort_pallas import group_histogram, grouped_limits_ok
+
+    sub = chunk // group
+    _rows, tx0, cx, ty0, cy, counts = binning.plane_data(
+        tris_screen, active, config, tile_h, tile_w)
+    ntx = -(-config.width // tile_w)
+    nty = -(-config.height // tile_h)
+    nty_g = -(-nty // group) * group
+    t = int(tx0.shape[0])
+    if not grouped_limits_ok(t, 0, ntx, nty_g):
+        return jnp.sum(counts), jnp.zeros((), jnp.int32)
+    tile_counts, _stids, _sstripes, gchunks = group_histogram(
+        tx0, cx, ty0, cy, ntx, nty_g, group, sub)
+    n_active = jnp.sum((tile_counts > 0).astype(jnp.int32))
+    return 128 * jnp.sum(gchunks), n_active
+
+
+@functools.partial(jax.jit, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
-    "group", "post", "sign_cover", "packed_out", "emit_gbuf"))
+    "group", "post", "sign_cover", "packed_out", "emit_gbuf", "g_cap"))
 def render_frame(tri_verts, tri_norms, tri_colors,
                  config: RenderConfig, p_cap: int, grid_cap: int,
                  tile_h: int = TILE_H, tile_w: int = TILE_W, chunk: int = 128,
                  interpret: bool = False, group: int = 1,
                  post: str = "none", light=None, sign_cover: bool = False,
-                 packed_out: bool = False, emit_gbuf: bool = True):
+                 packed_out: bool = False, emit_gbuf: bool = True,
+                 g_cap: int = 0):
     """Whole frame as ONE dispatch: geometry → bin → raster [→ shade].
 
     Per-dispatch overhead matters (over a remote-device tunnel it dominates),
@@ -1206,6 +1274,16 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     callers needing G-buffers later re-render with ``emit_gbuf=True``
     (bit-identical — the kernel is deterministic), which is what
     ``AdvancedPixelBufferFiller`` does lazily on getter access.
+
+    ``g_cap`` (static, grouped path): LIVE-GROUP GRID COMPACTION — bound
+    the Pallas grid and outputs to the first ``g_cap`` count-sorted groups
+    (nonempty groups are a prefix of the group order). Size it as
+    ``ceil(n_active / group)`` plus headroom (``grouped_frame_demand``
+    returns ``n_active`` alongside the slot demand); a frame whose
+    nonempty-tile count exceeds ``g_cap * group`` renders its smallest
+    tiles as background — detect via the returned ``n_active`` and
+    re-render at a grown cap (the filler's overflow loop does). 0 = full
+    grid.
     """
     from .illumination import lambert_shade
     from .projection import project_to_screen, visibility_masks
@@ -1222,32 +1300,38 @@ def render_frame(tri_verts, tri_norms, tri_colors,
     post_img = None
     if tri_verts.shape[0] == 0:   # empty scene → background
         zero = jnp.zeros((), jnp.int32)
-        out = (packed_background(config, tile_h, tile_w, n_attrs)
+        # a lean frame's packed slot is normally None (deferred); the empty
+        # scene is cheap enough to hand back a REAL packed background — but
+        # it must then carry the full N_ATTRS layout, because deferred-frame
+        # consumers unpack lean frames at the full attribute count
+        bg_attrs = binning.N_ATTRS if lean else n_attrs
+        out = (packed_background(config, tile_h, tile_w, bg_attrs)
                if packed_out else _background(config))
+        if post == "none":
+            return out, zero, zero
+        img = jnp.zeros((config.height, config.width, 3), jnp.uint8)
+        return out, zero, zero, img
+    degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
+    active = jnp.logical_and(~degenerate, ~backfacing)
+    tris_screen = project_to_screen(tri_verts, config)
+    if fast:
+        # per-vertex Lambert shade baked into the colors (Gouraud) —
+        # the same shared definition the deferred pass uses, applied to
+        # (T, 3, 3) per-vertex normals instead of the G-buffer
+        attr_colors, attr_normals = lambert_shade(tri_colors, tri_norms,
+                                                  light), None
+    elif lean:
+        attr_colors, attr_normals = tri_colors, None
     else:
-        degenerate, backfacing = visibility_masks(tri_verts, tri_norms)
-        active = jnp.logical_and(~degenerate, ~backfacing)
-        tris_screen = project_to_screen(tri_verts, config)
-        if fast:
-            # per-vertex Lambert shade baked into the colors (Gouraud) —
-            # the same shared definition the deferred pass uses, applied to
-            # (T, 3, 3) per-vertex normals instead of the G-buffer
-            attr_colors, attr_normals = lambert_shade(tri_colors, tri_norms,
-                                                      light), None
-        elif lean:
-            attr_colors, attr_normals = tri_colors, None
-        else:
-            attr_colors, attr_normals = tri_colors, tri_norms
-        rows, tx0, cx, ty0, cy, counts, _total = _plane_stage(
-            tris_screen, attr_colors, attr_normals, active, config, tile_h,
-            tile_w)
-        out, n_active, cap_used, post_img = _stage_b(
-            rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
-            tile_h, tile_w, chunk, interpret, group, n_attrs, sign_cover,
-            packed_out=packed_out, post=post, light=light,
-            emit_gbuf=emit_gbuf)
-    if tri_verts.shape[0] == 0:
-        n_active = cap_used = zero
+        attr_colors, attr_normals = tri_colors, tri_norms
+    rows, tx0, cx, ty0, cy, counts, _total = _plane_stage(
+        tris_screen, attr_colors, attr_normals, active, config, tile_h,
+        tile_w)
+    out, n_active, cap_used, post_img = _stage_b(
+        rows, tx0, cx, ty0, cy, counts, config, p_cap, grid_cap,
+        tile_h, tile_w, chunk, interpret, group, n_attrs, sign_cover,
+        packed_out=packed_out, post=post, light=light,
+        emit_gbuf=emit_gbuf, g_cap=g_cap)
     if post == "none":
         return out, cap_used, n_active
     if post_img is not None:   # grouped path: shaded/quantized in-kernel
@@ -1308,4 +1392,4 @@ def rasterize(tris_screen: jnp.ndarray,
 _stage_b_jit = jax.jit(_stage_b, static_argnames=(
     "config", "p_cap", "grid_cap", "tile_h", "tile_w", "chunk", "interpret",
     "group", "n_attrs", "sign_cover", "n_views", "packed_out", "post",
-    "emit_gbuf", "bin_reject"))
+    "emit_gbuf", "bin_reject", "g_cap"))

@@ -338,16 +338,23 @@ def test_demand_reader_failed_read_is_not_a_clean_verdict():
 
     reader = _DemandReader()
     try:
-        reader.put(_Boom(), cap=100, seq=1)
+        reader.put(_Boom(), 100, 0, 0, seq=1)
         reader.q.join()                     # waits through the retries too
-        demand, seq_done = reader.take()
+        demand, tiles, seq_done = reader.take()
         assert seq_done == 1                # the item WAS processed...
         assert demand == 101                # ...with a conservative verdict
+        assert tiles == 0                   # compaction off → never flagged
 
-        reader.put(7, cap=100, seq=2)       # and a clean read stays clean
+        reader.put(7, 100, 0, 0, seq=2)     # and a clean read stays clean
         reader.q.join()
-        demand, seq_done = reader.take()
-        assert (demand, seq_done) == (0, 2)
+        demand, tiles, seq_done = reader.take()
+        assert (demand, tiles, seq_done) == (0, 0, 2)
+
+        # a failed read with live-group compaction ON flags BOTH capacities
+        reader.put(_Boom(), 100, _Boom(), 64, seq=3)
+        reader.q.join()
+        demand, tiles, seq_done = reader.take()
+        assert (demand, tiles, seq_done) == (101, 65, 3)
     finally:
         reader.stop()
 
@@ -880,3 +887,56 @@ def test_deferred_gbuffer_rerender_matches_eager():
     np.testing.assert_array_equal(z_hot, np.asarray(eager.get_z_buffer()))
     np.testing.assert_array_equal(n_hot,
                                   np.asarray(eager.get_normals_buffer()))
+
+
+def test_live_group_compaction_bit_exact_and_repairs():
+    """LIVE-GROUP GRID COMPACTION (render_frame ``g_cap``): a compacted
+    frame must be BIT-identical to the full-grid frame (count-sorted
+    composition makes nonempty groups a prefix — tiles past the cap are
+    pure background), and a filler whose scene grows past its live-group
+    bucket must detect the tile-count overflow and repair by re-rendering
+    at a grown cap."""
+    import jax.numpy as jnp
+
+    from cython3dmodelrenderer_tpu.fillers import AdvancedPixelBufferFiller
+
+    config = RenderConfig(height=256, width=256, fov=90)
+    # a small triangle covering a few tiles of the 16x8 tile grid
+    tv = jnp.asarray(np.array(
+        [[[-0.2, -0.2, 1.0], [0.2, -0.2, 1.0], [0.0, 0.25, 1.0]]],
+        np.float32))
+    tn = jnp.asarray(np.tile(np.array([0, 0, -1], np.float32), (1, 3, 1)))
+    tc = jnp.asarray(np.full((1, 3, 3), 200, np.float32))
+
+    full = raster_pallas.render_frame(tv, tn, tc, config, 2048, 0, group=16,
+                                      interpret=True, post="u8",
+                                      packed_out=True, emit_gbuf=True,
+                                      g_cap=0)
+    comp = raster_pallas.render_frame(tv, tn, tc, config, 2048, 0, group=16,
+                                      interpret=True, post="u8",
+                                      packed_out=True, emit_gbuf=True,
+                                      g_cap=2)
+    np.testing.assert_array_equal(np.asarray(full[-1]), np.asarray(comp[-1]))
+    for a, b in zip(raster_pallas.unpack_gbuffers(full[0], config),
+                    raster_pallas.unpack_gbuffers(comp[0], config)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the compacted output really is smaller than the full grid's
+    assert comp[0][0].shape[0] == 2 < full[0][0].shape[0]
+
+    # filler: size on the small scene, then grow coverage past the bucket
+    f = AdvancedPixelBufferFiller(256, 256, fov=90, backend="pallas",
+                                  interpret=True)
+    f.render_arrays(tv, tn, tc, post="u8")
+    small_cap = f._g_cap
+    assert small_cap > 0
+    # an 8x scaled triangle covers most of the image -> many more tiles
+    f.render_arrays(tv * jnp.asarray([8.0, 8.0, 1.0]), tn, tc, post="u8")
+    assert f.validate_capacity() is False    # overflow detected + repaired
+    assert f._g_cap > small_cap
+    # repaired frame == fresh render at ample caps
+    ref = AdvancedPixelBufferFiller(256, 256, fov=90, backend="pallas",
+                                    interpret=True)
+    ref.render_arrays(tv * jnp.asarray([8.0, 8.0, 1.0]), tn, tc, post="u8")
+    ref.validate_capacity()
+    np.testing.assert_array_equal(np.asarray(f.get_post_image()),
+                                  np.asarray(ref.get_post_image()))

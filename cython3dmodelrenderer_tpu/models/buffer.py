@@ -29,14 +29,35 @@ class Buffer:
         self._dtype = dtype
         self._init_val = init_val
         self._buffer: jnp.ndarray = None  # set by clear()
+        self._pending = None              # lazy thunk (see set_lazy)
         self.clear()
+
+    # -- lazy contents -----------------------------------------------------
+
+    def set_lazy(self, thunk) -> None:
+        """Defer this buffer's contents: ``thunk()`` runs once, on first
+        access, and must return the (H, W, dim) array.
+
+        The Renderer serves its z/normal buffers this way: deriving them
+        eagerly costs a full G-buffer emission + unpack per frame, which
+        the common render-then-save-the-image flow never reads — observable
+        behavior is unchanged (any access path settles first).
+        """
+        self._pending = thunk
+
+    def _settle(self) -> None:
+        if self._pending is not None:
+            thunk, self._pending = self._pending, None
+            self.array = thunk()      # shape/dtype-checked by the setter
 
     # -- array-style access ------------------------------------------------
 
     def __getitem__(self, val) -> np.ndarray:
+        self._settle()
         return np.asarray(self._buffer)[val]
 
     def __setitem__(self, key, value) -> None:
+        self._settle()
         self._buffer = self._buffer.at[key].set(jnp.asarray(value, dtype=self._buffer.dtype))
 
     # -- device-side API ---------------------------------------------------
@@ -44,6 +65,7 @@ class Buffer:
     @property
     def array(self) -> jnp.ndarray:
         """The raw device array (no host transfer)."""
+        self._settle()
         return self._buffer
 
     @array.setter
@@ -52,6 +74,7 @@ class Buffer:
             f"expected {(self._height, self._width, self._dim)}, got {value.shape}"
         if value.dtype != jnp.dtype(self._dtype):
             value = value.astype(self._dtype)
+        self._pending = None
         self._buffer = value
 
     # -- reference-compatible API -----------------------------------------
@@ -61,25 +84,30 @@ class Buffer:
         # uses a y-up screen space, image files are y-down.
         import cv2
 
+        self._settle()
         cv2.imwrite(filename, np.asarray(self._buffer)[::-1])
 
     def get_pixel(self, x: int, y: int) -> np.ndarray:
+        self._settle()
         return np.asarray(self._buffer[y, x])
 
     def get_size(self) -> Tuple[int, int]:
         return self._height, self._width
 
     def get_image(self) -> np.ndarray:
+        self._settle()
         return np.asarray(self._buffer)
 
     def set_pixel(self, x: int, y: int, value) -> None:
         # Bounds-checked silent drop, like the reference (buffer.py:66-69).
         if x not in range(self._width) or y not in range(self._height):
             return
+        self._settle()
         self._buffer = self._buffer.at[y, x].set(
             jnp.asarray(value, dtype=self._buffer.dtype))
 
     def clear(self) -> None:
+        self._pending = None
         self._buffer = jnp.full((self._height, self._width, self._dim),
                                 self._init_val, dtype=self._dtype)
 
@@ -88,6 +116,7 @@ class Buffer:
 
     def save(self, filename: str) -> None:
         """Checkpoint the buffer (lossless, dtype-preserving .npz)."""
+        self._settle()
         np.savez(filename, buffer=np.asarray(self._buffer),
                  init_val=self._init_val)
 

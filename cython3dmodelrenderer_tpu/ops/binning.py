@@ -34,9 +34,11 @@ from .raster_ref import bbox_ceil
 # float32 kernel-row layout (see plane_data): 12 edge/z plane coefs
 # [A0 B0 C0 A1 B1 C1 A2 B2 C2 Az Bz Cz], 4 bbox [xl xr yl yr], then 18
 # attribute-plane coefs (6 channels B G R nx ny nz × [A, B, C]) = 34 live
-# columns, padded to the next power of two. 64 (not a full 128-lane row)
-# halves the HBM traffic of the per-pair gather/transpose glue; Mosaic
-# handles the 64-wide minor dim fine (lane-padded in VMEM). (No priority
+# columns (25 in 3-channel lean/fast-shade frames). Rows carry ONLY the
+# live columns — consumers slice (grouped binner) or pad to their own DMA
+# width (un-grouped fallback pads to 128); Mosaic handles non-power-of-two
+# minor dims fine (lane-padded in VMEM). ROW_WIDTH is the historical
+# full-width bound kept for the un-grouped path's docs. (No priority
 # column: depth-tie order is POSITIONAL — bins are sorted by triangle
 # index and the kernels resolve exact z ties by minimum lane/chunk.)
 ROW_WIDTH = 64
@@ -117,8 +119,12 @@ def plane_data(tris_screen: jnp.ndarray, active: jnp.ndarray,
         packed = jnp.stack([acoef, bcoef, ccoef], axis=2)  # (T, n_ch, 3)
         cols += [packed[:, ch, k] for ch in range(n_ch) for k in range(3)]
 
-    cols += [jnp.zeros_like(a0)] * (ROW_WIDTH - len(cols))
-    # Pack as (ROW_WIDTH, T) + ONE transpose: stacking along a NEW MAJOR
+    # No zero-padding columns: every consumer either slices the live rows
+    # (grouped binner: ``rows[:, :_rows_used]``) or pads to its own DMA
+    # width itself (un-grouped fallback pads to 128 in ``_raster_tiles``) —
+    # emitting only the live columns trims the transpose below by ~40%
+    # (lean frames carry 25 live columns, exact frames 34).
+    # Pack as (n_cols, T) + ONE transpose: stacking along a NEW MAJOR
     # axis keeps every (T,) column in its native lane layout (cheap
     # copies), and XLA transposes the block in one pass. The axis=1 stack
     # (64 column insertions, each a lane→sublane relayout) measured

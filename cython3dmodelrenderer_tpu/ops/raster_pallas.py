@@ -364,6 +364,16 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
     assert emit_gbuf or post is not None, \
         "a frame must emit at least one of (G-buffer, post image)"
 
+    # PACKED-BGR accumulation (lean/fast u8 frames — n_attrs == 3, no f32
+    # G-buffer output): the attribute accumulators only ever SELECT a
+    # candidate's values (never blend), so quantizing at accumulation time
+    # is bit-identical to quantizing the winner at the end — pack the three
+    # u8-truncated channels into ONE i32 word per lane. Chunk loop: one
+    # accumulator RMW instead of three (the chunk body is accumulator-
+    # traffic bound); epilogue: one one-hot sum segred instead of three.
+    # The ``& 255`` masks reproduce the old path's i32→u8 wrap exactly.
+    pack_bgr = post == "u8" and not emit_gbuf and n_attrs == 3
+
     def kernel(gstarts_ref, gchunks_ref, stids_ref, sstripes_ref, light_ref,
                binned_ref, *out_and_scratch):
         outs, scratch = (out_and_scratch[:int(emit_gbuf) + int(post is not None)],
@@ -393,7 +403,9 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                     jnp.int32, (tile_h, tile_w, chunk), 2) // group
                 out_ref[0] = jnp.where(pcls == 3, jnp.float32(z_init), 0.0)
             if post is not None:
-                u8_ref[0] = jnp.zeros((tile_h, tile_w, chunk), jnp.uint8)
+                u8_ref[0] = jnp.zeros(
+                    (tile_h, tile_w, chunk),
+                    jnp.int32 if pack_bgr else jnp.uint8)
 
         @pl.when(nchunks > 0)
         def _():
@@ -510,9 +522,18 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                 # epilogue. NaN guard: loser lanes may hold NaN attr planes
                 # but their zc is +inf, so they never become `better`.
                 better = zc < zacc[:]                    # (TH, TW, K)
-                for ch in range(n_attrs):
-                    attracc[ch] = jnp.where(better, plane(_ATTR0 + 3 * ch),
-                                            attracc[ch])
+                if pack_bgr:
+                    # quantize-at-accumulation (see pack_bgr note above):
+                    # one i32 BGR0 word per lane, one accumulator RMW
+                    w = ((plane(_ATTR0).astype(jnp.int32) & 255)
+                         | ((plane(_ATTR0 + 3).astype(jnp.int32) & 255) << 8)
+                         | ((plane(_ATTR0 + 6).astype(jnp.int32) & 255) << 16))
+                    attracc[0] = jnp.where(better, w, attracc[0])
+                else:
+                    for ch in range(n_attrs):
+                        attracc[ch] = jnp.where(better,
+                                                plane(_ATTR0 + 3 * ch),
+                                                attracc[ch])
                 zacc[:] = jnp.where(better, zc, zacc[:])
 
             if probe_reps[0] == 1:
@@ -566,6 +587,17 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             lmb = segred(jnp.where(cand, lanef, jnp.inf), jnp.minimum)
             win = cand & (lanef == lmb)                  # one-hot per class
             has = ~jnp.isinf(ztb)
+            if pack_bgr:
+                # ONE one-hot sum segred extracts the winner's packed BGR0
+                # word (exact: zeros plus one i32 word per class) and the
+                # block output IS the word array — every lane holds its
+                # stripe's (lane % group) full BGR0 pixel word, so the
+                # XLA-side assembly is a lane slice + row gather with no
+                # byte deinterleave anywhere (the u8-block variant's
+                # convert+relayout chain measured ~105 us/frame)
+                wwin = segred(jnp.where(win, afin[0], 0), jnp.add)
+                u8_ref[0] = jnp.where(has, wwin, 0)
+                return
             planes = []
             for ch in range(n_attrs):
                 aw = jnp.where(win, afin[ch], 0.0)
@@ -663,12 +695,21 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
         out_specs.append(pl.BlockSpec(blk, lambda i, *_: (i, 0, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct(
             (n_groups, tile_h, tile_w, chunk), jnp.float32))
+    # packed-BGR lean frames accumulate the three quantized channels in ONE
+    # i32 word per lane and emit the word blocks directly (see
+    # _make_kernel_grouped's pack_bgr note)
+    pack_bgr = post == "u8" and not emit_gbuf and n_attrs == 3
     if post is not None:
         # hot-path frames (post set, G-buffer deferred) emit ONLY this
-        # byte-sized output — the ~64 MB f32 block write drops out
+        # byte/word-sized output — the ~64 MB f32 block write drops out
         out_specs.append(pl.BlockSpec(blk, lambda i, *_: (i, 0, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct(
-            (n_groups, tile_h, tile_w, chunk), jnp.uint8))
+            (n_groups, tile_h, tile_w, chunk),
+            jnp.int32 if pack_bgr else jnp.uint8))
+    attracc_shape = (pltpu.VMEM((1, tile_h, tile_w, chunk), jnp.int32)
+                     if pack_bgr else
+                     pltpu.VMEM((n_attrs, tile_h, tile_w, chunk),
+                                jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_groups,),
@@ -677,7 +718,7 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
         scratch_shapes=[
             pltpu.VMEM((nbuf, rows_used, chunk), jnp.float32),
             pltpu.VMEM((tile_h, tile_w, chunk), jnp.float32),
-            pltpu.VMEM((n_attrs, tile_h, tile_w, chunk), jnp.float32),
+            attracc_shape,
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SMEM((1,), jnp.int32),
         ],
@@ -936,6 +977,24 @@ def assemble_u8_image(u8packed, stids, config: RenderConfig,
     ntx = -(-w // tile_w)
     n_tiles = ntx * nty_g
     n_groups, th, tw, chunk = u8packed.shape
+    if u8packed.dtype == jnp.int32:
+        # packed-BGR word blocks (pack_bgr kernels): every lane already
+        # holds its stripe's full BGR0 pixel word, so assembly is a lane
+        # slice (one word per stripe) + one row gather by sorted position +
+        # the aligned spatial transpose — no byte deinterleave anywhere
+        sl = u8packed[..., :group]                     # (G, th, tw, group)
+        vt = sl.transpose(0, 3, 1, 2).reshape(n_groups * group, th, tw)
+        pos = _pos_of_tiles(stids, n_tiles)
+        w3 = vt[jnp.minimum(pos, n_groups * group - 1)]
+        if n_groups * group < stids.shape[0]:
+            # live-group compaction: dead tiles are background (zeros)
+            w3 = jnp.where((pos < n_groups * group)[:, None, None], w3, 0)
+        wimg = w3.reshape(nty_g, ntx, tile_h, tile_w).transpose(0, 2, 1, 3) \
+            .reshape(nty_g * tile_h, ntx * tile_w)
+        img = jax.lax.bitcast_convert_type(wimg, jnp.uint8)[..., :3]
+        if n_views == 1:
+            return img[:h, :w]
+        return img.reshape(n_views, rows_per_view * tile_h, -1, 3)[:, :h, :w]
     nw = chunk // 4                      # i32 words per lane row
     # word k = lanes 4k..4k+3 (little-endian byte j = lane 4k+j): channel
     # p of stripe s lives at word p*(group//4) + s//4, byte s%4
@@ -950,19 +1009,25 @@ def assemble_u8_image(u8packed, stids, config: RenderConfig,
            + jnp.arange(3, dtype=jnp.int32)[None, :] * (group // 4))
     words = vt[idx.reshape(-1)].reshape(n_tiles, 3, th, tw)
     shift = ((s % 4) * 8)[:, None, None, None]
-    blocks = ((words >> shift) & 255).astype(jnp.uint8)
+    ch = (words >> shift) & 255
     if n_groups * group < stids.shape[0]:
         # live-group compaction: tiles sorted past the live grid have no
         # block — their image region is the (all-zero) u8 background (the
         # gather above clamps out-of-range rows; mask the garbage out)
-        blocks = jnp.where((g < n_groups)[:, None, None, None], blocks,
-                           jnp.uint8(0))
-    # (an all-i32 variant — pack each pixel's three bytes into one BGR0
-    # word, spatial-transpose in i32, bitcast to (H, W, 4) u8 and slice
-    # [:3] — measured ~0.05 ms SLOWER: the 3-of-4 byte slice copy costs
-    # more than the u8 transpose it avoids)
-    img = blocks.reshape(nty_g, ntx, 3, tile_h, tile_w) \
-        .transpose(0, 3, 1, 4, 2).reshape(nty_g * tile_h, ntx * tile_w, 3)
+        ch = jnp.where((g < n_groups)[:, None, None, None], ch, 0)
+    # Stay in the INT32 domain through the spatial interleave: pack each
+    # pixel's three bytes into one BGR0 word, tile-interleave with an
+    # ALIGNED i32 transpose (minor dims ntx*tw — multiples of 128 lanes),
+    # bitcast to (H, W, 4) u8 and slice off the pad byte. The u8-domain
+    # variant (transpose with a 3-byte minor dim) measured 0.298 vs 0.203
+    # ms on T-Rex under live-group compaction — the 3-minor transpose is
+    # the single most expensive op of the whole assembly. (An earlier
+    # round measured the i32 variant slower at full 128-group shapes; the
+    # verdict flipped with compaction — see PERF_NOTES.)
+    w3 = ch[:, 0] | (ch[:, 1] << 8) | (ch[:, 2] << 16)   # (n_tiles, th, tw)
+    wimg = w3.reshape(nty_g, ntx, tile_h, tile_w).transpose(0, 2, 1, 3) \
+        .reshape(nty_g * tile_h, ntx * tile_w)
+    img = jax.lax.bitcast_convert_type(wimg, jnp.uint8)[..., :3]
     if n_views == 1:
         return img[:h, :w]
     return img.reshape(n_views, rows_per_view * tile_h, -1, 3)[:, :h, :w]

@@ -122,30 +122,37 @@ class Renderer:
             post, light = "u8", None
         else:
             post, light = "none", None
-        # this path snapshots z/normals right after the dispatch, so ask
-        # for the G-buffer output up front (the hot deferred mode would
-        # re-render on the snapshot's getter — double work per frame)
+        if post == "none":
+            # custom drawers need the planar color/normal stacks NOW —
+            # eager G-buffers, generic two-dispatch path
+            filler.render_model(model, order=self._order(model),
+                                colors_override=colors_override,
+                                post=post, light=light, keep_gbuffers=True)
+            snap = getattr(filler, "snapshot_buffers", None)
+            if snap is not None:
+                color, z, normals, _pi = snap()
+            else:
+                color, z, normals = (filler.get_color_buffer(),
+                                     filler.get_z_buffer(),
+                                     filler.get_normals_buffer())
+            self.color_buffer.array = _cast_u8(
+                self.illumination.apply(color, normals))
+            self.z_buffer.array = z
+            self.n_buffer.array = normals
+            return
+        # Builtin drawers: the frame's deliverable is the fused post image —
+        # dispatch the LEAN hot frame (no f32 G-buffer output) and serve the
+        # z/normal buffers as LAZY views that materialize from the filler on
+        # first access (a deterministic re-render + unpack, bit-identical;
+        # the render-then-save flow never pays it). Reference analogue: the
+        # cy renderer's only product is the color buffer (cy/renderer.py:
+        # 47-49); z/normals live inside the filler.
         filler.render_model(model, order=self._order(model),
                             colors_override=colors_override,
-                            post=post, light=light, keep_gbuffers=True)
-        # ONE consistent snapshot: per-getter access could interleave with
-        # an async overflow repair and hand back color/z/normal tensors
-        # from different render generations (a torn frame)
-        snap = getattr(filler, "snapshot_buffers", None)
-        if snap is not None:
-            color, z, normals, post_image = snap()
-        else:
-            color, z, normals = (filler.get_color_buffer(),
-                                 filler.get_z_buffer(),
-                                 filler.get_normals_buffer())
-            post_image = filler.get_post_image()
-        if post == "none":  # custom drawers: generic two-dispatch path
-            shaded_u8 = _cast_u8(self.illumination.apply(color, normals))
-        else:
-            shaded_u8 = post_image
-        self.color_buffer.array = shaded_u8
-        self.z_buffer.array = z
-        self.n_buffer.array = normals
+                            post=post, light=light)
+        self.color_buffer.array = filler.get_post_image()
+        self.z_buffer.set_lazy(filler.get_z_buffer)
+        self.n_buffer.set_lazy(filler.get_normals_buffer)
 
     def _render_wireframe(self, model: Model,
                           colors_override: Optional[jnp.ndarray]) -> None:

@@ -11,7 +11,10 @@ from cython3dmodelrenderer_tpu.native import objparse_native
 pytestmark = pytest.mark.skipif(not objparse_native.available(),
                                 reason="native parser unavailable (no g++?)")
 
-ASSETS = "/root/reference/objects"
+ASSETS = os.environ.get("CRENDER_OBJECTS", "/root/reference/objects")
+# vendored fallbacks (repo stands alone without the reference mount)
+VENDORED = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets")
 
 
 def assert_same_parse(path):
@@ -40,9 +43,12 @@ def assert_same_parse(path):
 
 
 @pytest.mark.parametrize("name", ["cube.obj", "Cube2.obj", "basketball.obj",
-                                  "bunny.obj", "T-Rex.obj"])
+                                  "bunny.obj", "T-Rex.obj",
+                                  "igor_sphere.obj"])
 def test_reference_assets(name):
     path = os.path.join(ASSETS, name)
+    if not os.path.exists(path):
+        path = os.path.join(VENDORED, name)   # committed fallback
     if not os.path.exists(path):
         pytest.skip("asset missing")
     assert_same_parse(path)

@@ -295,6 +295,36 @@ def test_golden_trex(trex_path):
     assert frac_big < 0.002, f"too many >20-diff pixels: {frac_big}"
 
 
+def test_golden_standalone():
+    """SELF-CONTAINED golden: the production Pallas path vs the committed
+    ``assets/golden_sphere.png`` (generated from committed inputs by the
+    pure-XLA oracle backend — ``tools/make_golden.py``). Runs with no
+    reference mount at all; tolerances cover only the documented plane-form
+    vs ratio-form λ rounding at triangle edges."""
+    import cv2
+
+    from tools.make_golden import OUT, render
+
+    golden = cv2.imread(OUT)
+    assert golden is not None, "assets/golden_sphere.png missing — " \
+        "regenerate with python tools/make_golden.py"
+    golden = golden[::-1]          # file rows are flipped on write
+
+    ours = render("pallas", interpret=True)
+    assert ours.shape == golden.shape
+    ours_mask = ours.sum(-1) > 15
+    gold_mask = golden.sum(-1) > 15
+    iou = (ours_mask & gold_mask).sum() / (ours_mask | gold_mask).sum()
+    assert iou > 0.998, f"silhouette IoU too low: {iou}"
+    both = ours_mask & gold_mask
+    mae = np.abs(ours[both].astype(np.float32)
+                 - golden[both].astype(np.float32)).mean()
+    assert mae < 0.5, f"color MAE too high: {mae}"
+    frac_big = (np.abs(ours.astype(np.float32) - golden.astype(np.float32))
+                .max(-1) > 20).mean()
+    assert frac_big < 0.002, f"too many >20-diff pixels: {frac_big}"
+
+
 def test_buffer_save_load(tmp_path):
     buf = Buffer(8, 8, dim=3, dtype="float32", init_val=2)
     buf.set_pixel(3, 4, [9, 8, 7])

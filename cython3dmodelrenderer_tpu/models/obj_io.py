@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -49,55 +49,60 @@ class ObjData:
 
 
 def _read_vertex(data: str) -> List[float]:
-    coords = [float(t) for t in data.split()]
-    assert len(coords) >= 3
-    return coords[:3]
+    # extra components (w, vertex colors) are legal OBJ — keep x, y, z
+    x, y, z = [float(tok) for tok in data.split()][:3]
+    return [x, y, z]
 
 
 def _read_texture_coord(data: str) -> List[float]:
-    return [float(t) for t in data.split()]
+    # keep every component; the consumer slices u, v (some exporters write
+    # a third w coordinate)
+    return [float(tok) for tok in data.split()]
 
 
 def _read_normal(data: str) -> List[float]:
-    coords = [float(t) for t in data.split()]
-    assert len(coords) == 3
-    return coords
+    nx, ny, nz = (float(tok) for tok in data.split())
+    return [nx, ny, nz]
 
 
-def _fix_index(index: int) -> int:
-    # 1-based → 0-based; non-positive (relative) indices untouched, they
-    # keep working through Python/NumPy negative indexing downstream.
-    return index - 1 if index > 0 else index
+def _corner(token: str) -> Tuple[int, Optional[int], Optional[int]]:
+    """One face corner ``v[/vt[/vn]]`` → (v, vt, vn) 0-based indices.
+
+    Absent/empty fields → None (v itself is mandatory — a malformed corner
+    raises and the lenient caller skips the line). OBJ indices are 1-based;
+    non-positive (end-relative) ones pass through untouched — they keep
+    working via NumPy negative indexing downstream.
+    """
+    fields = token.split("/")[:3] + ["", ""]
+
+    def to_index(field: str) -> Optional[int]:
+        if not field:
+            return None
+        i = int(field)
+        return i - 1 if i > 0 else i
+
+    v = to_index(fields[0])
+    if v is None:
+        raise ValueError(f"face corner without a vertex index: {token!r}")
+    return v, to_index(fields[1]), to_index(fields[2])
 
 
 def _read_face(data: str):
-    """Fan-triangulate one ``f`` record.
+    """Fan-triangulate one ``f`` record around its first corner.
 
-    Returns three lists (one entry per emitted triangle): vertex index
-    triples, texture-coordinate triples (entry ``None`` when any corner is
-    missing one) and normal triples likewise.
+    Returns three parallel lists (one entry per emitted triangle): vertex
+    index triples, texture-coordinate triples (``None`` when any corner of
+    that triangle lacks one) and normal triples likewise.
     """
-    comps = data.split()
-    tris = [[comps[0], comps[1 + i], comps[2 + i]] for i in range(len(comps) - 2)]
+    corners = [_corner(tok) for tok in data.split()]
     out_v, out_vt, out_vn = [], [], []
-    for tri in tris:
-        tv: Optional[list] = []
-        tvt: Optional[list] = []
-        tvn: Optional[list] = []
-        for comp in tri:
-            v, vt, vn = (comp + "//").split("/")[:3]
-            tv.append(_fix_index(int(v)))
-            if vt == "":
-                tvt = None
-            if tvt is not None:
-                tvt.append(_fix_index(int(vt)))
-            if vn == "":
-                tvn = None
-            if tvn is not None:
-                tvn.append(_fix_index(int(vn)))
-        out_v.append(tv)
-        out_vt.append(tvt)
-        out_vn.append(tvn)
+    for b, c in zip(corners[1:-1], corners[2:]):
+        tri = (corners[0], b, c)
+        out_v.append([cn[0] for cn in tri])
+        vt = [cn[1] for cn in tri]
+        out_vt.append(None if None in vt else vt)
+        vn = [cn[2] for cn in tri]
+        out_vn.append(None if None in vn else vn)
     return out_v, out_vt, out_vn
 
 

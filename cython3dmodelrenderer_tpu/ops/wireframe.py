@@ -180,33 +180,37 @@ class LineDrawer:
 
 
 class LineBresenham(LineDrawer):
-    """Scalar Bresenham over ``Buffer.set_pixel`` — reference-compatible.
+    """Scalar integer line walk over ``Buffer.set_pixel``.
 
     Single-line compat path; the batched wireframe uses ``rasterize_lines``.
+    All-integer doubled-error accumulator: the walk takes ``major`` steps,
+    each either diagonal (when the accumulated minor-axis error crosses a
+    half-pixel) or along the major axis. Seeding the accumulator at
+    ``major`` (= twice the half-pixel threshold) makes every comparison
+    exact in integers, and the emitted pixels match the closed-form
+    ``rasterize_lines`` derivation above bit-for-bit (pinned by
+    ``tests/test_renderer.py``'s wireframe parity tests). Ties
+    (``dx == dy``) walk y-major.
     """
 
     def draw_line(self, p1, p2, image, color):
-        x1, y1 = int(p1[0]), int(p1[1])
-        x2, y2 = int(p2[0]), int(p2[1])
-        dx, dy = x2 - x1, y2 - y1
-        sign_x = (dx > 0) - (dx < 0)
-        sign_y = (dy > 0) - (dy < 0)
-        dx, dy = abs(dx), abs(dy)
-        if dx > dy:
-            pdx, pdy, es, el = sign_x, 0, dy, dx
-        else:
-            pdx, pdy, es, el = 0, sign_y, dx, dy
-        x, y = x1, y1
-        error, t = el / 2, 0
+        x, y = int(p1[0]), int(p1[1])
+        xe, ye = int(p2[0]), int(p2[1])
+        step_x = 1 if xe > x else (-1 if xe < x else 0)
+        step_y = 1 if ye > y else (-1 if ye < y else 0)
+        dx, dy = abs(xe - x), abs(ye - y)
+        x_major = dx > dy
+        major, minor = (dx, dy) if x_major else (dy, dx)
+        err2 = major                      # 2 × the half-pixel threshold
         image.set_pixel(x, y, color)
-        while t < el:
-            error -= es
-            if error < 0:
-                error += el
-                x += sign_x
-                y += sign_y
+        for _ in range(major):
+            err2 -= 2 * minor
+            if err2 < 0:                  # minor axis crossed a pixel center
+                err2 += 2 * major
+                x += step_x
+                y += step_y
+            elif x_major:
+                x += step_x
             else:
-                x += pdx
-                y += pdy
-            t += 1
+                y += step_y
             image.set_pixel(x, y, color)

@@ -523,19 +523,31 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
                              bbox_size: int = 64, chunk: int = 512,
                              backend: str = "jnp", p_cap: int = None,
                              interpret: bool = False, group: int = raster_pallas.GROUP,
-                             view_batch: int = 1):
+                             view_batch: int = 1, check_capacity: bool = False,
+                             auto_resize: bool = True):
     """shard_map the turntable over a mesh axis: each device renders N/D views.
 
     Geometry is replicated (it is small); views are sharded. No collectives
-    are needed — the output stays sharded over views for the caller to gather
-    or write out per shard. ``backend="pallas"`` runs the production Pallas
-    rasterizer per device; ``p_cap`` (static bin capacity) is derived via
-    ``turntable_capacity`` when not given (one host sync before the sharded
-    dispatch). ``interpret=True`` runs the Pallas kernels in interpreter mode
-    so the sharded production path is testable on a CPU mesh. ``view_batch``
-    composes with sharding: each device renders ITS views in stacked
-    batches of V (pallas backend only).
+    are needed for the render itself — the output stays sharded over views
+    for the caller to gather or write out per shard. ``backend="pallas"``
+    runs the production Pallas rasterizer per device; ``p_cap`` (static bin
+    capacity) is derived via ``turntable_capacity`` when not given (one host
+    sync before the sharded dispatch). ``interpret=True`` runs the Pallas
+    kernels in interpreter mode so the sharded production path is testable
+    on a CPU mesh. ``view_batch`` composes with sharding: each device
+    renders ITS views in stacked batches of V (pallas backend only).
+
+    CAPACITY SAFETY (pallas backend): every sharded sweep evaluates its true
+    peak bin demand on-device and ``pmax``-merges it across the mesh — the
+    sharded counterpart of the single-chip filler's overflow auto-recovery.
+    With ``auto_resize`` (default) an undersized ``p_cap`` is detected after
+    the sweep (one host scalar read per attempt), the bucket grows to the
+    observed demand + headroom, and the sweep re-renders — no silently
+    truncated frames. ``check_capacity=True`` additionally returns the
+    mesh-peak demand scalar.
     """
+    from ..ops import binning
+
     n_dev = mesh.shape[axis]
     assert angles.shape[0] % n_dev == 0, \
         f"views ({angles.shape[0]}) must divide over {n_dev} devices"
@@ -550,23 +562,38 @@ def render_turntable_sharded(tri_verts, tri_norms, tri_colors, angles,
                                    view_batch=view_batch)
 
     # check_vma=False for the Pallas branch: pallas_call out_shapes carry no
-    # varying-mesh-axes annotation; the body is collective-free (pure view
-    # data parallelism), so the check adds nothing here.
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(axis)), out_specs=P(axis),
-             check_vma=(backend != "pallas"))
-    def shard(tv, tn, tc, ang):
-        if backend == "pallas":
-            return render_turntable_pallas(tv, tn, tc, ang, config,
-                                           p_cap=p_cap,
-                                           post_shift=post_shift,
-                                           interpret=interpret, group=group,
-                                           view_batch=view_batch)
-        return render_turntable(tv, tn, tc, ang, config,
-                                post_shift=post_shift, bbox_size=bbox_size,
-                                chunk=chunk)
+    # varying-mesh-axes annotation; the body's only collective is the pmax
+    # on the demand scalar, so the check adds nothing here.
+    def sweep(cap):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P(), P(axis)),
+                 out_specs=(P(axis), P()),
+                 check_vma=(backend != "pallas"))
+        def shard(tv, tn, tc, ang):
+            if backend == "pallas":
+                imgs, used = render_turntable_pallas(
+                    tv, tn, tc, ang, config, p_cap=cap,
+                    post_shift=post_shift, interpret=interpret, group=group,
+                    view_batch=view_batch, check_capacity=True)
+                return imgs, jax.lax.pmax(used, axis)
+            imgs = render_turntable(tv, tn, tc, ang, config,
+                                    post_shift=post_shift,
+                                    bbox_size=bbox_size, chunk=chunk)
+            return imgs, jnp.int32(0)     # jnp path has no static capacity
 
-    return shard(tri_verts, tri_norms, tri_colors, angles)
+        return shard(tri_verts, tri_norms, tri_colors, angles)
+
+    images, used = sweep(p_cap)
+    if backend == "pallas" and auto_resize:
+        for _ in range(4):                # bounded: bucket grows every pass
+            peak = int(used)              # one host sync per attempt
+            if peak <= p_cap:
+                break
+            p_cap = binning.capacity_bucket(peak * 5 // 4, 128)
+            images, used = sweep(p_cap)
+    if check_capacity:
+        return images, used
+    return images
 
 
 # --------------------------------------------------------------------------

@@ -402,3 +402,33 @@ def test_view_batched_over_budget_degrades():
     got = np.asarray(multiview.render_turntable_pallas(
         tv, tn, tc, angles, cfg, p_cap=p2, interpret=True, view_batch=2))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_overflow_detects_resizes_rerenders():
+    """Sharded capacity safety (VERDICT r4 task 7): a deliberately
+    undersized ``p_cap`` under shard_map must be DETECTED via the pmax'd
+    peak-demand scalar and repaired by re-rendering at a grown bucket —
+    the sharded counterpart of the filler's single-chip overflow
+    auto-recovery. The repaired sweep must match a comfortably-sized one
+    bit-for-bit."""
+    tv, tn, tc = tiny_scene(t=48, seed=3)
+    mesh = make_mesh([("views", 4)])
+    angles = multiview.turntable_angles(8)
+
+    # reference: amply sized
+    ref, used_ref = multiview.render_turntable_sharded(
+        tv, tn, tc, angles, CONFIG, mesh, backend="pallas", interpret=True,
+        check_capacity=True)
+    assert int(used_ref) > 256, "scene too small to exercise overflow"
+
+    # undersized: auto_resize must detect (used > p_cap) and re-render
+    repaired, used = multiview.render_turntable_sharded(
+        tv, tn, tc, angles, CONFIG, mesh, backend="pallas", interpret=True,
+        p_cap=256, check_capacity=True)
+    np.testing.assert_array_equal(np.asarray(repaired), np.asarray(ref))
+
+    # and with auto_resize off, the truncation is at least DETECTABLE
+    _trunc, used_off = multiview.render_turntable_sharded(
+        tv, tn, tc, angles, CONFIG, mesh, backend="pallas", interpret=True,
+        p_cap=256, check_capacity=True, auto_resize=False)
+    assert int(used_off) > 256

@@ -162,15 +162,17 @@ def bench_turntable(view_batch=1, fast_shade=False):
     # exact per-pose sizing: every rendered angle's demand is evaluated, so
     # no sampling headroom is needed — binsort/sort/gather costs scale with
     # the STATIC capacity, so a tight bucket is pure win (the check_capacity
-    # assert below would catch any sizing error)
-    p_cap = multiview.sequence_capacity(tv, tn, angles, None, config,
-                                        headroom=1.0, view_batch=view_batch)
+    # assert below would catch any sizing error, including live-group
+    # compaction overflow — it reports through the same demand channel)
+    p_cap, g_cap = multiview.sequence_demand(tv, tn, angles, None, config,
+                                             headroom=1.0,
+                                             view_batch=view_batch)
 
     def sweep():
         # post="u8": display-ready uint8 frames, matching the reference's
         # uint8 BGR Buffer (and the single-frame bench's fused quantize)
         return multiview.render_turntable_pallas(tv, tn, tc, angles, config,
-                                                 p_cap=p_cap,
+                                                 p_cap=p_cap, g_cap=g_cap,
                                                  check_capacity=True,
                                                  post="u8",
                                                  view_batch=view_batch,

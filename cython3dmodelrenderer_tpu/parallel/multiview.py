@@ -126,7 +126,7 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
                         config: RenderConfig, p_cap: int, chunk: int,
                         group: int, interpret: bool, light,
                         fast: bool = False, packed_out: bool = False,
-                        post: str = "none"):
+                        post: str = "none", g_cap: int = 0):
     """One posed view through the production Pallas pipeline.
 
     Shared by the single-chip turntable, view-sharded, and triangle-sharded
@@ -167,11 +167,17 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
                                               binning.N_ATTRS)
     rows, tx0, cx, ty0, cy, counts, _total = raster_pallas._plane_stage(
         ts, attr_colors, attr_normals, act, config, th, tw)
-    out, _na, used, post_img = raster_pallas._stage_b(
+    out, n_act, used, post_img = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
         th, tw, chunk, interpret, group, n_attrs=n_attrs,
         packed_out=packed_out, post=post, light=light,
-        emit_gbuf=(post == "none"))
+        emit_gbuf=(post == "none"), g_cap=g_cap)
+    if g_cap:
+        # live-group compaction overflow renders the smallest tiles as
+        # background — fold it into the capacity-demand channel so the
+        # callers' ``used <= p_cap`` checks catch the truncation
+        used = jnp.where(n_act > g_cap * group,
+                         jnp.maximum(used, p_cap + 1), used)
     if packed_out:
         return out, n_attrs, used, post_img
     color, z, normal = out
@@ -182,7 +188,7 @@ def _render_view_pallas(tri_verts, tri_norms, tri_colors,
 
 def _batched_view_spans(tri_verts, tri_norms, tri_colors, angles_b, shifts_b,
                         config: RenderConfig, group: int,
-                        light=None, fast: bool = False):
+                        light=None, fast: bool = False, lean: bool = False):
     """Pose + project + plane-stage a small batch of views and concatenate
     them in the stacked-tile-row layout ``raster_pallas._stage_b`` consumes
     with ``n_views > 1`` (view v's tile rows offset by ``v * stride``).
@@ -206,6 +212,8 @@ def _batched_view_spans(tri_verts, tri_norms, tri_colors, angles_b, shifts_b,
                 raise ValueError("fast_shade needs a light direction "
                                  "(it bakes Lambert per vertex)")
             colors_v, normals_v = lambert_shade(tri_colors, pn, light), None
+        elif lean:   # unlit u8: normal channels never leave the kernel
+            colors_v, normals_v = tri_colors, None
         else:
             colors_v, normals_v = tri_colors, pn
         rows, tx0, cx, ty0, cy, counts = binning.plane_data(
@@ -224,7 +232,8 @@ def _batched_view_spans(tri_verts, tri_norms, tri_colors, angles_b, shifts_b,
 def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
                              shifts_b, config: RenderConfig, p_cap: int,
                              chunk: int, group: int, interpret: bool, light,
-                             fast: bool = False, post: str = "f32"):
+                             fast: bool = False, post: str = "f32",
+                             g_cap: int = 0):
     """A batch of posed views through ONE grouped-kernel launch.
 
     The views stack vertically in tile-id space (VERDICT r2 task: "batch
@@ -237,20 +246,27 @@ def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
     """
     from ..ops import binning
 
+    # LEAN unlit u8 batches carry only the 3 color channels, like the
+    # single-view path (render_frame's lean mode) — the kernel then runs
+    # its packed-BGR i32 accumulation
+    lean = post == "u8" and light is None and not fast
     rows, tx0, cx, ty0, cy, counts = _batched_view_spans(
         tri_verts, tri_norms, tri_colors, angles_b, shifts_b, config, group,
-        light=light, fast=fast)
+        light=light, fast=fast, lean=lean)
     th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
-    n_attrs = 3 if fast else binning.N_ATTRS
+    n_attrs = 3 if (fast or lean) else binning.N_ATTRS
     n_views = int(angles_b.shape[0])
     kpost = "none"
     if post == "u8":   # shade/quantize in-kernel; only bytes leave
         kpost = "u8" if (fast or light is None) else "lambert_u8"
-    packed, _na, used, post_img = raster_pallas._stage_b(
+    packed, n_act, used, post_img = raster_pallas._stage_b(
         rows, tx0, cx, ty0, cy, counts, config, p_cap, 0,
         th, tw, chunk, interpret, group,
         n_attrs=n_attrs, n_views=n_views, packed_out=True,
-        post=kpost, light=light, emit_gbuf=(kpost == "none"))
+        post=kpost, light=light, emit_gbuf=(kpost == "none"), g_cap=g_cap)
+    if g_cap:
+        used = jnp.where(n_act > g_cap * group,
+                         jnp.maximum(used, p_cap + 1), used)
     if post_img is not None:
         return post_img, used
     nty = -(-config.height // th)
@@ -270,7 +286,7 @@ def _render_viewbatch_pallas(tri_verts, tri_norms, tri_colors, angles_b,
 def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
                    config: RenderConfig, p_cap: int, chunk: int, group: int,
                    interpret: bool, light, post: str, view_batch: int,
-                   fast: bool = False):
+                   fast: bool = False, g_cap: int = 0):
     """Scan over view batches; each step renders ``view_batch`` views
     through one stacked kernel launch (see ``_render_viewbatch_pallas``)."""
     ab = angles.reshape(-1, view_batch, 3)
@@ -280,7 +296,8 @@ def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
         a_b, s_b = xs
         color, used = _render_viewbatch_pallas(
             tri_verts, tri_norms, tri_colors, a_b, s_b, config, p_cap,
-            chunk, group, interpret, light, fast=fast, post=post)
+            chunk, group, interpret, light, fast=fast, post=post,
+            g_cap=g_cap)
         return color, used
 
     # scan bodies are view_batch x bigger — scale the unroll down
@@ -291,7 +308,7 @@ def _sweep_batched(tri_verts, tri_norms, tri_colors, angles, shifts,
 def _run_sweep(tri_verts, tri_norms, tri_colors, angles, shifts,
                config: RenderConfig, p_cap: int, chunk: int, group: int,
                interpret: bool, light, post: str, view_batch: int,
-               fast_shade: bool):
+               fast_shade: bool, g_cap: int = 0):
     """The one sweep dispatcher behind the turntable AND sequence entry
     points: batched (stacked views per launch) or per-view scan."""
     if view_batch > 1:
@@ -300,7 +317,8 @@ def _run_sweep(tri_verts, tri_norms, tri_colors, angles, shifts,
                 f"view_batch={view_batch} must divide {angles.shape[0]} poses")
         return _sweep_batched(
             tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
-            chunk, group, interpret, light, post, view_batch, fast=fast_shade)
+            chunk, group, interpret, light, post, view_batch, fast=fast_shade,
+            g_cap=g_cap)
 
     def one(pose):
         angle3, shift3 = pose
@@ -312,7 +330,8 @@ def _run_sweep(tri_verts, tri_norms, tri_colors, angles, shifts,
             kpost = "u8" if (fast_shade or light is None) else "lambert_u8"
         packed, n_attrs, used, post_img = _render_view_pallas(
             v, n, tri_colors, config, p_cap, chunk, group, interpret,
-            light, fast=fast_shade, packed_out=True, post=kpost)
+            light, fast=fast_shade, packed_out=True, post=kpost,
+            g_cap=g_cap)
         if post_img is not None:
             return post_img, used
         th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
@@ -329,7 +348,7 @@ def _run_sweep(tri_verts, tri_norms, tri_colors, angles, shifts,
 
 @partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
                                    "group", "check_capacity", "post",
-                                   "view_batch", "fast_shade"))
+                                   "view_batch", "fast_shade", "g_cap"))
 def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             tri_colors: jnp.ndarray, angles: jnp.ndarray,
                             config: RenderConfig, p_cap: int,
@@ -340,8 +359,15 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                             check_capacity: bool = False,
                             post: str = "f32",
                             view_batch: int = 1,
-                            fast_shade: bool = False) -> jnp.ndarray:
+                            fast_shade: bool = False,
+                            g_cap: int = 0) -> jnp.ndarray:
     """Multi-view render through the Pallas rasterizer (one chip).
+
+    ``g_cap`` (static) enables live-group grid compaction per launch (see
+    ``raster_pallas.render_frame``); size it with ``sequence_demand`` over
+    the same poses/view_batch. A pose whose nonempty-tile count overflows
+    it is reported through the ``check_capacity`` demand channel (the
+    returned peak then exceeds ``p_cap``). 0 = off.
 
     Views run sequentially via a partially unrolled ``lax.scan`` (each view
     saturates the chip, so batching across views buys nothing on a single
@@ -377,7 +403,7 @@ def render_turntable_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     images, used = _run_sweep(
         tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
         chunk, group, interpret, _norm_light(light_direction), post,
-        view_batch, fast_shade)
+        view_batch, fast_shade, g_cap=g_cap)
     if check_capacity:
         return images, jnp.max(used)
     return images
@@ -408,7 +434,25 @@ def sequence_capacity(tri_verts, tri_norms, angles, shifts,
     ``view_batch > 1`` the demand unit is a BATCH of stacked views — size
     with the same ``view_batch`` the sweep will render with.
     """
-    from ..ops import binning, raster_pallas
+    return sequence_demand(tri_verts, tri_norms, angles, shifts, config,
+                           headroom=headroom, post_shift=post_shift,
+                           group=group, view_batch=view_batch)[0]
+
+
+def sequence_demand(tri_verts, tri_norms, angles, shifts,
+                    config: RenderConfig, headroom: float = 1.5,
+                    post_shift=(0.0, 0.0, 1.0),
+                    group: int = raster_pallas.GROUP,
+                    view_batch: int = 1):
+    """(p_cap, g_cap) covering a pose sequence — one host sync for both.
+
+    ``p_cap`` is the ``sequence_capacity`` bucket; ``g_cap`` is the
+    live-group grid bound (``raster_pallas`` compaction) from the peak
+    nonempty-tile count over the same poses, with the same headroom,
+    rounded up to 4 groups. ``g_cap`` is 0 (compaction off) for workloads
+    that degrade to the un-grouped path.
+    """
+    from ..ops import binning
 
     if shifts is None:
         shifts = jnp.broadcast_to(jnp.asarray(post_shift, jnp.float32),
@@ -418,33 +462,38 @@ def sequence_capacity(tri_verts, tri_norms, angles, shifts,
         if angles.shape[0] % view_batch:
             raise ValueError(
                 f"view_batch={view_batch} must divide {angles.shape[0]} poses")
-        peak = int(_batched_peak_slots(tri_verts, tri_norms,
-                                       angles.reshape(-1, view_batch, 3),
-                                       shifts.reshape(-1, view_batch, 3),
-                                       config=config, group=group))
-        return binning.capacity_bucket(int(peak * headroom), 128)
+        peak, act = _batched_peak_demand(tri_verts, tri_norms,
+                                         angles.reshape(-1, view_batch, 3),
+                                         shifts.reshape(-1, view_batch, 3),
+                                         config=config, group=group)
+    else:
+        @jax.jit
+        def totals(tv, tn, ang, shf):
+            def one(pose):
+                angle3, shift3 = pose
+                v, n = _pose_triangles(tv, tn, angle3, shift3)
+                degenerate, backfacing = visibility_masks(v, n)
+                active = jnp.logical_and(~degenerate, ~backfacing)
+                ts = project_to_screen(v, config)
+                return raster_pallas.grouped_frame_demand(ts, active, config,
+                                                          group=group)
 
-    @jax.jit
-    def totals(tv, tn, ang, shf):
-        def one(pose):
-            angle3, shift3 = pose
-            v, n = _pose_triangles(tv, tn, angle3, shift3)
-            degenerate, backfacing = visibility_masks(v, n)
-            act = jnp.logical_and(~degenerate, ~backfacing)
-            ts = project_to_screen(v, config)
-            return raster_pallas.grouped_slot_total(ts, act, config,
-                                                    group=group)
+            tot, act = jax.lax.map(one, (ang, shf))
+            return jnp.max(tot), jnp.max(act)
 
-        return jnp.max(jax.lax.map(one, (ang, shf)))
-
-    peak = int(totals(tri_verts, tri_norms, angles, shifts))
-    return binning.capacity_bucket(int(peak * headroom), 128)
+        peak, act = totals(tri_verts, tri_norms, angles, shifts)
+    p_cap = binning.capacity_bucket(int(int(peak) * headroom), 128)
+    act = int(act)
+    if act <= 0:
+        return p_cap, 0
+    need = -(-int(act * headroom) // group)
+    return p_cap, -(-need // 4) * 4
 
 
 @partial(jax.jit, static_argnames=("config", "group"))
-def _batched_peak_slots(tri_verts, tri_norms, angles_b, shifts_b,
-                        config: RenderConfig, group: int):
-    """Peak per-BATCH slot demand over (B, V, 3) batched poses.
+def _batched_peak_demand(tri_verts, tri_norms, angles_b, shifts_b,
+                         config: RenderConfig, group: int):
+    """Peak per-BATCH (slot demand, nonempty-tile count) over batched poses.
 
     MUST mirror ``_stage_b``'s batched dispatch decision the way
     ``grouped_slot_total`` mirrors the single-view one: a stacked workload
@@ -468,17 +517,20 @@ def _batched_peak_slots(tri_verts, tri_norms, angles_b, shifts_b,
         _rows, tx0, cx, ty0, cy, counts = _batched_view_spans(
             tri_verts, tri_norms, None, a_b, s_b, config, group)
         if not grouped_limits_ok(t_cat, 0, ntx, nty_total):
-            return jnp.sum(counts)     # un-grouped path's demand
-        gchunks = group_histogram(tx0, cx, ty0, cy, ntx, nty_total,
-                                  group, sub)[3]
-        return 128 * jnp.sum(gchunks)
+            # un-grouped path's demand; no grouped grid to compact
+            return jnp.sum(counts), jnp.zeros((), jnp.int32)
+        tile_counts, _st, _ss, gchunks = group_histogram(
+            tx0, cx, ty0, cy, ntx, nty_total, group, sub)
+        n_act = jnp.sum((tile_counts > 0).astype(jnp.int32))
+        return 128 * jnp.sum(gchunks), n_act
 
-    return jnp.max(jax.lax.map(one, (angles_b, shifts_b)))
+    tot, act = jax.lax.map(one, (angles_b, shifts_b))
+    return jnp.max(tot), jnp.max(act)
 
 
 @partial(jax.jit, static_argnames=("config", "p_cap", "chunk", "interpret",
                                    "group", "check_capacity", "post",
-                                   "view_batch", "fast_shade"))
+                                   "view_batch", "fast_shade", "g_cap"))
 def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                            tri_colors: jnp.ndarray, angles: jnp.ndarray,
                            shifts: jnp.ndarray, config: RenderConfig,
@@ -488,7 +540,8 @@ def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
                            check_capacity: bool = False,
                            post: str = "f32",
                            view_batch: int = 1,
-                           fast_shade: bool = False) -> jnp.ndarray:
+                           fast_shade: bool = False,
+                           g_cap: int = 0) -> jnp.ndarray:
     """Arbitrary pose-sequence animation as ONE dispatch (one chip).
 
     The general form of ``render_turntable_pallas``: each frame i rotates
@@ -506,7 +559,7 @@ def render_sequence_pallas(tri_verts: jnp.ndarray, tri_norms: jnp.ndarray,
     images, used = _run_sweep(
         tri_verts, tri_norms, tri_colors, angles, shifts, config, p_cap,
         chunk, group, interpret, _norm_light(light_direction), post,
-        view_batch, fast_shade)
+        view_batch, fast_shade, g_cap=g_cap)
     if check_capacity:
         return images, jnp.max(used)
     return images

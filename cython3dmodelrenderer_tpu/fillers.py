@@ -59,6 +59,22 @@ def _geometry_stage(tri_verts, tri_norms, config: RenderConfig):
     return tris_screen, active
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _dual_group_demand(tris_screen, active, config: RenderConfig):
+    """(slots, tiles) at group=16 AND group=32 — one sizing dispatch.
+
+    Lean frames (3 attribute channels) may pack 32 tiles per chunk; the
+    filler picks the group with the smaller slot demand (see
+    ``_lean_group``)."""
+    from .ops import raster_pallas
+
+    t16, a16 = raster_pallas.grouped_frame_demand(tris_screen, active,
+                                                  config, group=16)
+    t32, a32 = raster_pallas.grouped_frame_demand(tris_screen, active,
+                                                  config, group=32)
+    return t16, a16, t32, a32
+
+
 class _DemandReader:
     """Background drain of per-frame bin-demand scalars.
 
@@ -235,6 +251,16 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         from .ops.raster_pallas import GROUP
         self._group: int = GROUP
         self._packed_group: int = GROUP   # group of the last dispatch
+        # LEAN-mode group selection: frames with 3 attribute channels
+        # (lean u8 / fast-shade) may legally pack 32 tiles per chunk
+        # (n_out=4, 32*4 = 128 lanes). Sparse scenes — where the per-tile
+        # stripe floor dominates slot demand — measure ~30% faster at
+        # group=32 (cube@1024²: 0.81 -> 0.56 ms wall), dense scenes are
+        # neutral-to-worse (chunk rounding). The sizing sync evaluates slot
+        # demand at BOTH groups and picks the smaller; exact-mode frames
+        # (8 output planes) always use GROUP.
+        self._lean_group: int = GROUP
+        self._lean_caps = None            # (p_cap, g_cap) for lean frames
         # fused final-image pass of the last frame (see render_model(post=))
         self._post_mode = ("none", None)
         self._post_image: Optional[jnp.ndarray] = None
@@ -342,31 +368,48 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             if self._p_cap is not None and self._sized_for != tri_verts.shape[0]:
                 self._p_cap = None
                 self._g_cap = 0
+                self._lean_caps = None
+                self._lean_group = self._group
                 self._invalidate_pending()   # old-model demands are meaningless
             if self._p_cap is None:
                 # One-time sizing sync: learn the scene's bin-slot demand
-                # AND its nonempty-tile count in one dispatch; cache both
-                # static buckets so animation never re-syncs —
-                # _settle_pending() grows either bucket if a later frame
-                # overflows it. The steady-state path below is exactly one
-                # dispatch per frame.
+                # AND its nonempty-tile count — at the exact-mode group and
+                # (when legal) at group=32 for lean frames — in one
+                # dispatch; cache the static buckets so animation never
+                # re-syncs. _settle_pending() grows any bucket a later
+                # frame overflows. The steady-state path below is exactly
+                # one dispatch per frame.
                 tris_screen, active = _geometry_stage(tri_verts, tri_norms,
                                                       self.config)
-                total, act = raster_pallas.grouped_frame_demand(
-                    tris_screen, active, self.config, group=self._group)
+                dual = self._group == 16
+                if dual:
+                    t16, a16, t32, a32 = _dual_group_demand(
+                        tris_screen, active, self.config)
+                else:
+                    t16, a16 = raster_pallas.grouped_frame_demand(
+                        tris_screen, active, self.config, group=self._group)
+                    t32 = None
                 # 5% headroom (was 25%): every binning stage scales with
                 # the STATIC capacity (sort, ffills, row gathers), so a
                 # tight bucket is wall time — measured 1.15 -> 1.08 ms on
                 # the headline. Animation demand drift past 5% triggers
                 # the overflow auto-repair below, which grows the bucket
                 # once and re-renders — self-correcting.
-                self._p_cap = binning.capacity_bucket(int(total) * 21 // 20,
+                self._p_cap = binning.capacity_bucket(int(t16) * 21 // 20,
                                                       128)
                 # Live-group compaction: 25% tile headroom (scene coverage
                 # drifts more than slot demand under animation; a spare
                 # group costs ~1-3 us, a miss costs a repair re-render),
                 # bucketed to multiples of 4 groups to keep recompiles rare.
-                self._g_cap = self._group_bucket(int(act))
+                self._g_cap = self._group_bucket(int(a16), self._group)
+                if dual and int(t32) < int(t16):   # sparse: stripe floor
+                    self._lean_group = 32
+                    self._lean_caps = (
+                        binning.capacity_bucket(int(t32) * 21 // 20, 128),
+                        self._group_bucket(int(a32), 32))
+                else:
+                    self._lean_group = self._group
+                    self._lean_caps = (self._p_cap, self._g_cap)
                 self._sized_for = tri_verts.shape[0]
             self._dispatch_pallas(tri_verts, tri_norms, tri_colors,
                                   keep_gbuffers=keep_gbuffers)
@@ -424,10 +467,15 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         if self._packed is _DEFERRED:
             assert self._latest is not None, "deferred frame without inputs"
             tv, tn, tc = self._latest[:3]
-            post, light = self._post_mode   # same mode → same n_attrs/planes
+            post, light = self._post_mode   # same mode → same planes
+            # the G-buffer re-render emits 8 output planes — always the
+            # EXACT-mode caps (a lean dispatch may have used group=32,
+            # which cannot carry 8 planes); image bit-identity holds
+            # across groups (the kernel is deterministic per pixel)
+            self._packed_group = self._group
             res = raster_pallas.render_frame(
                 tv, tn, tc, self.config, self._p_cap, 0,
-                group=self._packed_group,
+                group=self._group,
                 interpret=self._interpret, post=post, light=light,
                 sign_cover=self.sign_cover, packed_out=True, emit_gbuf=True,
                 g_cap=self._g_cap)
@@ -437,14 +485,27 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             group=self._packed_group)
         self._packed = None
 
-    def _group_bucket(self, n_active_tiles: int) -> int:
+    def _group_bucket(self, n_active_tiles: int, group: int) -> int:
         """Live-group cap from a nonempty-tile count: 25% headroom,
         rounded up to 4 groups; 0 (no nonempty tiles / un-grouped degrade)
         disables compaction."""
         if n_active_tiles <= 0:
             return 0
-        need = -(-(n_active_tiles * 5 // 4) // self._group)
+        need = -(-(n_active_tiles * 5 // 4) // group)
         return -(-need // 4) * 4
+
+    def _caps_for(self, post: str, keep_gbuffers: bool):
+        """(group, p_cap, g_cap) for a dispatch mode.
+
+        Lean frames (3 attribute channels, no f32 G-buffer output) use the
+        sizing sync's chosen lean group — 32 on sparse scenes; everything
+        else the exact-mode GROUP caps.
+        """
+        lean_like = (post in ("u8", "fast_lambert_u8")
+                     and not keep_gbuffers and self._lean_caps is not None)
+        if lean_like:
+            return (self._lean_group,) + tuple(self._lean_caps)
+        return self._group, self._p_cap, self._g_cap
 
     def _dispatch_pallas(self, tri_verts, tri_norms, tri_colors,
                          keep_gbuffers: bool = False):
@@ -454,20 +515,16 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         # post-mode frames skip the f32 G-buffer output entirely (~64 MB
         # less HBM write traffic at 1024²): the deliverable is the post
         # image; G-buffers re-render lazily on getter access (_materialize)
-        # (group=32 for fast-shade frames — legal, since n_out=4 keeps
-        # group * n_out within the 128 lanes — measured a REGRESSION:
-        # 1.40 vs 1.27 ms; wider groups buy no further epilogue once the
-        # doubling is this short, and the 32-tile demand range inflates
-        # per-group chunk rounding. Keep one group for every mode.)
-        group = self._group
+        group, p_cap, g_cap = self._caps_for(post, keep_gbuffers)
         self._packed_group = group
+        self._last_caps = (group, p_cap, g_cap)
         res = raster_pallas.render_frame(
             tri_verts, tri_norms, tri_colors, self.config,
-            self._p_cap, 0, group=group,
+            p_cap, 0, group=group,
             interpret=self._interpret, post=post, light=light,
             sign_cover=self.sign_cover, packed_out=True,
             emit_gbuf=(post == "none" or keep_gbuffers),
-            g_cap=self._g_cap)
+            g_cap=g_cap)
         if post == "none":
             packed, self._last_total, self._last_active = res
         else:
@@ -495,8 +552,9 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         queue. The reader does the blocking ``int()`` reads off the
         dispatch thread, so the render loop never waits on device scalars.
         """
-        self._latest = (tri_verts, tri_norms, tri_colors, self._p_cap,
-                        self._g_cap, keep_gbuffers)
+        group, p_cap, g_cap = self._last_caps
+        self._latest = (tri_verts, tri_norms, tri_colors, p_cap, g_cap,
+                        keep_gbuffers)
         if self._reader is None:
             self._reader = _DemandReader()
             # Stop the reader thread when THIS filler is collected — the
@@ -505,8 +563,8 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             weakref.finalize(self, self._reader.stop)
         self._validated = False
         self._dispatch_seq += 1
-        self._reader.put(self._last_total, self._p_cap, self._last_active,
-                         self._g_cap * self._group, self._dispatch_seq)
+        self._reader.put(self._last_total, p_cap, self._last_active,
+                         g_cap * group, self._dispatch_seq)
 
     def _invalidate_pending(self) -> None:
         """Drop queued/recorded demands (model changed — they're meaningless)."""
@@ -543,19 +601,28 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
             return False
         if demand > self._p_cap:
             self._p_cap = binning.capacity_bucket(2 * demand, 128)
-        if self._g_cap and tiles > self._g_cap * self._group:
+        if self._lean_caps is not None and demand > self._lean_caps[0]:
+            self._lean_caps = (binning.capacity_bucket(2 * demand, 128),
+                               self._lean_caps[1])
+        if tiles:
             # live-group overflow: the frame rendered its smallest tiles as
-            # background — grow the grid bucket (2x the observed coverage)
-            self._g_cap = self._group_bucket(2 * tiles)
-        if repair and self._latest is not None and (
-                self._latest[3] < self._p_cap
-                or self._latest[4] < self._g_cap):
-            # Re-render the newest frame (older frames are superseded) with
-            # the same G-buffer retention it was dispatched with; its own
-            # demand re-queues for the next drain.
-            tv, tn, tc, _cap, _gcap, keep = self._latest
-            self._dispatch_pallas(tv, tn, tc, keep_gbuffers=keep)
-            self._track_pending(tv, tn, tc, keep_gbuffers=keep)
+            # background — grow the grid buckets (2x observed coverage)
+            if self._g_cap and tiles > self._g_cap * self._group:
+                self._g_cap = self._group_bucket(2 * tiles, self._group)
+            if (self._lean_caps is not None and self._lean_caps[1]
+                    and tiles > self._lean_caps[1] * self._lean_group):
+                self._lean_caps = (self._lean_caps[0],
+                                   self._group_bucket(2 * tiles,
+                                                      self._lean_group))
+        if repair and self._latest is not None:
+            tv, tn, tc, cap, gcap, keep = self._latest
+            _g, cur_p, cur_g = self._caps_for(self._post_mode[0], keep)
+            if cap < cur_p or gcap < cur_g:
+                # Re-render the newest frame (older frames are superseded)
+                # with the same G-buffer retention it was dispatched with;
+                # its own demand re-queues for the next drain.
+                self._dispatch_pallas(tv, tn, tc, keep_gbuffers=keep)
+                self._track_pending(tv, tn, tc, keep_gbuffers=keep)
         return True
 
     def get_render_stats(self) -> dict:

@@ -501,7 +501,10 @@ class AdvancedPixelBufferFiller(PixelBufferFiller):
         sizing sync's chosen lean group — 32 on sparse scenes; everything
         else the exact-mode GROUP caps.
         """
-        lean_like = (post in ("u8", "fast_lambert_u8")
+        # all hot post modes qualify: without an f32 G-buffer output the
+        # kernel emits only word blocks, so the group*n_out lane constraint
+        # doesn't bind and group=32 is legal even at 6 attribute channels
+        lean_like = (post in ("u8", "fast_lambert_u8", "lambert_u8")
                      and not keep_gbuffers and self._lean_caps is not None)
         if lean_like:
             return (self._lean_group,) + tuple(self._lean_caps)

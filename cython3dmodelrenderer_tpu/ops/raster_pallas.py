@@ -358,21 +358,27 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
     """
     sub = chunk // group
     n_out = _out_stripes(n_attrs)
-    assert group * n_out <= chunk, \
-        "group-packed output needs group * n_out lanes"
+    # the lane-packing constraint binds only the f32 G-buffer output; a
+    # post-only frame's word blocks use one lane class per stripe
+    assert not emit_gbuf or group * n_out <= chunk, \
+        "group-packed G-buffer output needs group * n_out lanes"
 
     assert emit_gbuf or post is not None, \
         "a frame must emit at least one of (G-buffer, post image)"
 
-    # PACKED-BGR accumulation (lean/fast u8 frames — n_attrs == 3, no f32
-    # G-buffer output): the attribute accumulators only ever SELECT a
-    # candidate's values (never blend), so quantizing at accumulation time
-    # is bit-identical to quantizing the winner at the end — pack the three
-    # u8-truncated channels into ONE i32 word per lane. Chunk loop: one
-    # accumulator RMW instead of three (the chunk body is accumulator-
-    # traffic bound); epilogue: one one-hot sum segred instead of three.
-    # The ``& 255`` masks reproduce the old path's i32→u8 wrap exactly.
+    # PACKED-BGR accumulation (hot frames without an f32 G-buffer output):
+    # the attribute accumulators only ever SELECT a candidate's values
+    # (never blend), so any per-candidate computation commutes with winner
+    # selection — quantize (and for "lambert_u8", SHADE: the shadow is a
+    # function of the candidate's own interpolated normal, so shading
+    # per-lane then selecting equals selecting then shading, bit-for-bit)
+    # at accumulation time and pack the three u8-truncated channels into
+    # ONE i32 word per lane. Chunk loop: one accumulator RMW instead of
+    # three/six; epilogue: one one-hot sum segred instead of three/six.
+    # The ``& 255`` masks reproduce the deferred path's i32→u8 wrap.
     pack_bgr = post == "u8" and not emit_gbuf and n_attrs == 3
+    pack_shaded = post == "lambert_u8" and not emit_gbuf
+    pack_word = pack_bgr or pack_shaded
 
     def kernel(gstarts_ref, gchunks_ref, stids_ref, sstripes_ref, light_ref,
                binned_ref, *out_and_scratch):
@@ -403,9 +409,8 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                     jnp.int32, (tile_h, tile_w, chunk), 2) // group
                 out_ref[0] = jnp.where(pcls == 3, jnp.float32(z_init), 0.0)
             if post is not None:
-                u8_ref[0] = jnp.zeros(
-                    (tile_h, tile_w, chunk),
-                    jnp.int32 if pack_bgr else jnp.uint8)
+                # all grouped post modes emit BGR0 i32 word blocks
+                u8_ref[0] = jnp.zeros((tile_h, tile_w, chunk), jnp.int32)
 
         @pl.when(nchunks > 0)
         def _():
@@ -522,12 +527,28 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                 # epilogue. NaN guard: loser lanes may hold NaN attr planes
                 # but their zc is +inf, so they never become `better`.
                 better = zc < zacc[:]                    # (TH, TW, K)
-                if pack_bgr:
-                    # quantize-at-accumulation (see pack_bgr note above):
-                    # one i32 BGR0 word per lane, one accumulator RMW
-                    w = ((plane(_ATTR0).astype(jnp.int32) & 255)
-                         | ((plane(_ATTR0 + 3).astype(jnp.int32) & 255) << 8)
-                         | ((plane(_ATTR0 + 6).astype(jnp.int32) & 255) << 16))
+                if pack_word:
+                    # quantize-(and shade-)at-accumulation (see pack note
+                    # above): one i32 BGR0 word per lane, one RMW
+                    cb = plane(_ATTR0)
+                    cg = plane(_ATTR0 + 3)
+                    cr = plane(_ATTR0 + 6)
+                    if pack_shaded:
+                        # per-candidate Lambert (ops.illumination formula):
+                        # identical inputs/order as the deferred epilogue
+                        # shade of the selected winner → bit-equal
+                        nx = plane(_ATTR0 + 9)
+                        ny = plane(_ATTR0 + 12)
+                        nz = plane(_ATTR0 + 15)
+                        lx, ly, lz = light_ref[0], light_ref[1], light_ref[2]
+                        dot = nx * lx + ny * ly + nz * lz
+                        nrm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+                        shadow = jnp.clip(dot / (nrm + jnp.float32(1e-6)),
+                                          0.0, 1.0)
+                        cb, cg, cr = cb * shadow, cg * shadow, cr * shadow
+                    w = ((cb.astype(jnp.int32) & 255)
+                         | ((cg.astype(jnp.int32) & 255) << 8)
+                         | ((cr.astype(jnp.int32) & 255) << 16))
                     attracc[0] = jnp.where(better, w, attracc[0])
                 else:
                     for ch in range(n_attrs):
@@ -587,7 +608,7 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
             lmb = segred(jnp.where(cand, lanef, jnp.inf), jnp.minimum)
             win = cand & (lanef == lmb)                  # one-hot per class
             has = ~jnp.isinf(ztb)
-            if pack_bgr:
+            if pack_word:
                 # ONE one-hot sum segred extracts the winner's packed BGR0
                 # word (exact: zeros plus one i32 word per class) and the
                 # block output IS the word array — every lane holds its
@@ -628,12 +649,14 @@ def _make_kernel_grouped(ntx: int, tile_h: int, tile_w: int, chunk: int,
                                   planes[2] * shadow)
                 else:                                    # "u8"
                     cb, cg, cr = planes[0], planes[1], planes[2]
-                u8v = jnp.where(pcls == 0, cb,
-                                jnp.where(pcls == 1, cg,
-                                          jnp.where(pcls == 2, cr, 0.0)))
-                # Mosaic has no f32->u8 convert; go through i32 (identical
-                # truncation for the in-range [0, 255] color values)
-                u8_ref[0] = u8v.astype(jnp.int32).astype(jnp.uint8)
+                # emit BGR0 i32 word blocks (every lane holds its stripe's
+                # full pixel word), exactly like the pack_bgr branch — the
+                # XLA assembly is then a lane slice + row gather with no
+                # byte deinterleave (the u8-block chain measured ~0.29 ms
+                # vs ~0.05). The ``& 255`` masks equal the old i32→u8 wrap.
+                u8_ref[0] = ((cb.astype(jnp.int32) & 255)
+                             | ((cg.astype(jnp.int32) & 255) << 8)
+                             | ((cr.astype(jnp.int32) & 255) << 16))
 
         if probe_reps[1] == 1:
             epilogue()
@@ -695,19 +718,20 @@ def _raster_tiles_grouped(binned, gstarts, gchunks, stids, sstripes,
         out_specs.append(pl.BlockSpec(blk, lambda i, *_: (i, 0, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct(
             (n_groups, tile_h, tile_w, chunk), jnp.float32))
-    # packed-BGR lean frames accumulate the three quantized channels in ONE
-    # i32 word per lane and emit the word blocks directly (see
-    # _make_kernel_grouped's pack_bgr note)
-    pack_bgr = post == "u8" and not emit_gbuf and n_attrs == 3
+    # packed-word hot frames additionally accumulate the three quantized
+    # (and, for lambert_u8, pre-shaded) channels in ONE i32 word per lane
+    # (see _make_kernel_grouped)
+    pack_word = ((post == "u8" and n_attrs == 3) or post == "lambert_u8") \
+        and not emit_gbuf
     if post is not None:
-        # hot-path frames (post set, G-buffer deferred) emit ONLY this
-        # byte/word-sized output — the ~64 MB f32 block write drops out
+        # post frames emit BGR0 i32 word blocks (deinterleave-free
+        # assembly); on the hot path (G-buffer deferred) this is the
+        # frame's ONLY output — the ~64 MB f32 block write drops out
         out_specs.append(pl.BlockSpec(blk, lambda i, *_: (i, 0, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct(
-            (n_groups, tile_h, tile_w, chunk),
-            jnp.int32 if pack_bgr else jnp.uint8))
+            (n_groups, tile_h, tile_w, chunk), jnp.int32))
     attracc_shape = (pltpu.VMEM((1, tile_h, tile_w, chunk), jnp.int32)
-                     if pack_bgr else
+                     if pack_word else
                      pltpu.VMEM((n_attrs, tile_h, tile_w, chunk),
                                 jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
